@@ -1,0 +1,176 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One compressed run of ≤ [[PostingBlock.DefaultSize]] postings of a term.
+  *
+  * This is the Spark-native analogue of a RUM posting-list page: docIds are
+  * stored as varbyte gaps (reference: src/rumdatapage.c:169-222), payloads
+  * (position+weight streams) ride along like RUM's addInfo
+  * (src/rum.h:167-172 RumItem), and the block header carries the skip/
+  * block-max metadata RUM keeps as intra-page item indexes
+  * (src/rum.h:289-303, src/rumdatapage.c:1321-1371): first/last docId for
+  * seeking past whole blocks, and maxTf for block-max WAND score bounds.
+  *
+  * @param firstDoc  smallest docId in the block
+  * @param lastDoc   largest docId in the block
+  * @param n         number of postings
+  * @param maxTf     max true term frequency in the block (WAND upper bound)
+  * @param docs      varbyte delta-encoded docIds
+  * @param tfs       varbyte true term frequencies (may exceed stored #pos)
+  * @param poss      per-doc payload: varint byteLen + PositionCodec bytes
+  */
+case class PostingBlock(
+    firstDoc: Long,
+    lastDoc: Long,
+    n: Int,
+    maxTf: Int,
+    docs: Array[Byte],
+    tfs: Array[Byte],
+    poss: Array[Byte])
+
+object PostingBlock {
+  val DefaultSize = 256
+}
+
+/** Accumulates (docId, tf, encodedPositions) in strictly increasing docId
+  * order and packs [[PostingBlock]]s. Mirrors RUM's build-time list packing
+  * (src/ruminsert.c:112-239 RumFormTuple) with a fixed posting budget per
+  * block instead of a page-byte budget.
+  */
+final class PostingListBuilder(blockSize: Int = PostingBlock.DefaultSize) {
+  private val blocks = ArrayBuffer.empty[PostingBlock]
+  private var docIds = new ArrayBuffer[Long](blockSize)
+  private var tfs = new ArrayBuffer[Int](blockSize)
+  private val posBuf = new java.io.ByteArrayOutputStream()
+  private var maxTf = 0
+  var totalDocs: Long = 0L
+
+  def add(docId: Long, tf: Int, positions: Array[Byte]): Unit = {
+    require(docIds.isEmpty || docId > docIds.last,
+      s"docIds must be strictly increasing: $docId after ${docIds.last}")
+    docIds += docId
+    tfs += tf
+    if (tf > maxTf) maxTf = tf
+    VarByte.writeUInt(posBuf, positions.length.toLong)
+    posBuf.write(positions, 0, positions.length)
+    totalDocs += 1
+    if (docIds.length >= blockSize) flush()
+  }
+
+  private def flush(): Unit = {
+    if (docIds.nonEmpty) {
+      blocks += PostingBlock(
+        firstDoc = docIds.head,
+        lastDoc = docIds.last,
+        n = docIds.length,
+        maxTf = maxTf,
+        docs = VarByte.encodeDeltas(docIds.toArray),
+        tfs = VarByte.encodeUInts(tfs.toArray),
+        poss = posBuf.toByteArray)
+      docIds = new ArrayBuffer[Long](blockSize)
+      tfs = new ArrayBuffer[Int](blockSize)
+      posBuf.reset()
+      maxTf = 0
+    }
+  }
+
+  def result(): Array[PostingBlock] = { flush(); blocks.toArray }
+}
+
+/** Streaming cursor over an ordered sequence of posting blocks with
+  * block-skipping seek — the analogue of RUM's entryFindItem page hops
+  * (src/rumget.c:1700-1794 seek via the intra-page skip index).
+  *
+  * Usage: while (!done) { docId/tf/positions; next() } ; seek(d) advances
+  * to the first posting with docId >= d, skipping whole blocks via lastDoc.
+  */
+final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
+  private var blocks: Array[PostingBlock] = Array.empty
+  private var bi = 0                    // block index within current array
+  private var curDocs: Array[Long] = _
+  private var curTfs: Array[Int] = _
+  private var curPossOff: Array[Int] = _ // offset of each doc's payload
+  private var curPossLen: Array[Int] = _
+  private var curPoss: Array[Byte] = _
+  private var i = 0                     // posting index within block
+  var done: Boolean = false
+
+  advanceBlockArray()
+  if (!done) loadBlock()
+
+  private def advanceBlockArray(): Unit = {
+    while (bi >= blocks.length && blockArrays.hasNext) {
+      blocks = blockArrays.next(); bi = 0
+    }
+    if (bi >= blocks.length) done = true
+  }
+
+  private def loadBlock(): Unit = {
+    val b = blocks(bi)
+    curDocs = VarByte.decodeDeltas(b.docs, b.n)
+    curTfs = VarByte.decodeUInts(b.tfs, b.n)
+    curPoss = b.poss
+    curPossOff = new Array[Int](b.n)
+    curPossLen = new Array[Int](b.n)
+    var p = 0
+    var j = 0
+    while (j < b.n) {
+      val (len, np) = VarByte.readUInt(curPoss, p)
+      curPossOff(j) = np
+      curPossLen(j) = len.toInt
+      p = np + len.toInt
+      j += 1
+    }
+    i = 0
+  }
+
+  def docId: Long = curDocs(i)
+  def tf: Int = curTfs(i)
+  def maxTfCurBlock: Int = blocks(bi).maxTf
+
+  /** Decode the current posting's (positions, wclasses) payload. */
+  def positions: (Array[Int], Array[Byte]) = {
+    val len = curPossLen(i)
+    if (len == 0) (Array.emptyIntArray, Array.emptyByteArray)
+    else {
+      val slice = java.util.Arrays.copyOfRange(curPoss, curPossOff(i), curPossOff(i) + len)
+      PositionCodec.decode(slice)
+    }
+  }
+
+  def next(): Unit = {
+    i += 1
+    if (i >= curDocs.length) {
+      bi += 1
+      if (bi >= blocks.length) advanceBlockArray()
+      if (!done) loadBlock()
+    }
+  }
+
+  /** Advance to first posting with docId >= target (no-op if already). */
+  def seek(target: Long): Unit = {
+    if (done || curDocs(i) >= target) return
+    // skip whole blocks
+    while (!done && blocks(bi).lastDoc < target) {
+      bi += 1
+      if (bi >= blocks.length) advanceBlockArray()
+      if (!done) loadBlock()
+    }
+    if (done) return
+    // binary search within block
+    var lo = i
+    var hi = curDocs.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (curDocs(mid) < target) lo = mid + 1 else hi = mid
+    }
+    i = lo
+    if (curDocs(i) < target) { i = curDocs.length - 1; next() }
+  }
+
+  /** Upper bound on the docId of the last posting in the current block —
+    * lets WAND skip scoring an entire block.
+    */
+  def curBlockLastDoc: Long = blocks(bi).lastDoc
+}

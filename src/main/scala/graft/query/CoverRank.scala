@@ -1,0 +1,188 @@
+package graft.query
+
+/** RUM's cover-density ranking kernel, re-expressed as a pure function.
+  *
+  * Semantics ported from the reference (NOT the code — reimplemented):
+  *   - cover search: src/rum_ts_utils.c:855-964 `Cover` — accumulate operand
+  *     occurrences forward until the query first satisfies (NOT assumed
+  *     true), that occurrence's position is the cover's upper bound q; then
+  *     re-accumulate backward from there until the query satisfies with
+  *     NOT calculated, giving lower bound p.
+  *   - scoring: src/rum_ts_utils.c:1209-1328 `calc_score_docr` —
+  *     per cover: Cpos = (#occ / Σ invWeight) · #distinctKeysInCover;
+  *     noise = (q-p) - (#occ-1) (halved cover length if negative);
+  *     covers with identical operand composition share a slot whose ℓ-th
+  *     occurrence contributes Cpos/(1+noise)/ℓ²/ζ(2), ζ(2)≈1.64493406685.
+  *   - distance = 1/score as float4 (∞ when score 0), matching
+  *     rum_ts_distance / the <=> operator (src/rum_ts_utils.c:1409-1520).
+  *
+  * Expected anchors (reference expected/rum.out:122-152): single-term doc
+  * distance 16.4493; adjacent two-term cover 8.22467; 'go..way' spread
+  * cover 57.5727.
+  */
+object CoverRank {
+
+  /** Inverse weight per 2-bit class {D,C,B,A} = {10, 5, 2.5, 1}
+    * (reference: src/rum_ts_utils.c:128 `weights[]`).
+    */
+  private val InvWeights: Array[Double] = Array(10.0, 5.0, 2.5, 1.0)
+  private val Zeta2 = 1.64493406685
+
+  /** One occurrence of a query key in the doc. */
+  private final case class Occ(pos: Int, wclass: Int, keyIdx: Int)
+
+  /** Score a doc given, per distinct query key, its sorted positions (+
+    * weight classes) in the doc, or null when absent — exactly the data RUM
+    * reads out of posting addInfo (get_docrep_addinfo,
+    * src/rum_ts_utils.c:966-1036; repeated query operands visited once).
+    */
+  def score(cq: CompiledQuery,
+            keyPositions: Array[Array[Int]],
+            keyWclasses: Array[Array[Byte]]): Double = {
+    // ---- build the doc representation: merged occurrence list by pos ----
+    var total = 0
+    var k = 0
+    while (k < cq.numKeys) {
+      if (keyPositions(k) != null) total += keyPositions(k).length
+      k += 1
+    }
+    if (total == 0) return 0.0
+    val occ = new Array[Occ](total)
+    var c = 0
+    k = 0
+    while (k < cq.numKeys) {
+      val ps = keyPositions(k)
+      if (ps != null) {
+        val ws = if (keyWclasses(k) != null) keyWclasses(k) else null
+        var j = 0
+        while (j < ps.length) {
+          occ(c) = Occ(ps(j), if (ws != null) ws(j) & 0x3 else 0, k)
+          c += 1
+          j += 1
+        }
+      }
+      k += 1
+    }
+    val doc = occ.sortBy(_.pos)
+    val n = doc.length
+
+    // ---- operand state shared with the evaluator (single pos per key) ----
+    val statePos = new Array[Int](cq.numKeys)
+    val stateW = new Array[Byte](cq.numKeys)
+    val stateExist = new Array[Boolean](cq.numKeys)
+    val provider = new TsEval.Provider {
+      def positions(keyIdx: Int): Array[Int] =
+        if (stateExist(keyIdx)) Array(statePos(keyIdx)) else null
+      def wclasses(keyIdx: Int): Array[Byte] = Array(stateW(keyIdx))
+    }
+    def clearState(): Unit = java.util.Arrays.fill(stateExist, false)
+    def setState(o: Occ): Unit = {
+      stateExist(o.keyIdx) = true
+      statePos(o.keyIdx) = o.pos
+      stateW(o.keyIdx) = o.wclass.toByte
+    }
+
+    // ---- cover iteration + scoring ----
+    val coverKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val coverLens = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val coverRanks = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    var extPos = 0
+    var running = true
+    while (running) {
+      // -- Cover() --
+      var beginIdx = -1
+      var endIdx = -1
+      var p = Int.MaxValue
+      var q = 0
+      var emitted = false
+      var searching = true
+      while (searching) {
+        if (extPos >= n) { running = false; searching = false }
+        else {
+          // forward pass, NOT assumed true (TS_EXEC_EMPTY)
+          clearState()
+          var idx = extPos
+          var lastIdx = -1
+          q = 0
+          var found = false
+          while (idx < n && !found) {
+            setState(doc(idx))
+            if (TsEval.matches(cq, provider, calcNot = false)) {
+              if (doc(idx).pos > q) { q = doc(idx).pos; endIdx = idx; lastIdx = idx; found = true }
+            }
+            if (!found) idx += 1
+          }
+          if (!found) { running = false; searching = false }
+          else {
+            // backward pass, NOT calculated
+            clearState()
+            p = Int.MaxValue
+            beginIdx = -1
+            var j = lastIdx
+            var ok = false
+            while (j >= extPos && !ok) {
+              setState(doc(j))
+              if (TsEval.matches(cq, provider, calcNot = true)) {
+                if (doc(j).pos < p) { beginIdx = j; p = doc(j).pos }
+                ok = true
+              } else j -= 1
+            }
+            if (p <= q) {
+              extPos = beginIdx + 1
+              emitted = true
+              searching = false
+            } else {
+              extPos += 1 // restart
+            }
+          }
+        }
+      }
+
+      if (emitted) {
+        // -- per-cover scoring (calc_score_docr loop body) --
+        var invSum = 0.0
+        var key = 0L
+        var i = beginIdx
+        while (i <= endIdx) {
+          invSum += InvWeights(doc(i).wclass)
+          // composition hash: stable per-key identity folded in sequence
+          key = (key << 1) + ((doc(i).keyIdx + 1).toLong * 0x9E3779B97F4A7C15L | 1L)
+          i += 1
+        }
+        // distinct keys present in cover = operand state from backward pass,
+        // which covered [beginIdx..endIdx]
+        val inCover = new Array[Boolean](cq.numKeys)
+        i = beginIdx
+        while (i <= endIdx) { inCover(doc(i).keyIdx) = true; i += 1 }
+        var nitems = 0
+        var kk = 0
+        while (kk < cq.numKeys) { if (inCover(kk)) nitems += 1; kk += 1 }
+
+        var cpos = (endIdx - beginIdx + 1).toDouble / invSum
+        if (nitems > 0) cpos *= nitems
+        var nNoise = (q - p) - (endIdx - beginIdx)
+        if (nNoise < 0) nNoise = (endIdx - beginIdx) / 2
+
+        var slot = coverKeys.indexOf(key)
+        if (slot < 0) {
+          coverKeys += key; coverLens += 0; coverRanks += 0.0
+          slot = coverKeys.length - 1
+        }
+        coverLens(slot) += 1
+        val l = coverLens(slot).toDouble
+        coverRanks(slot) += cpos / (1 + nNoise) / (l * l) / Zeta2
+      }
+    }
+
+    coverRanks.sum
+  }
+
+  /** distance = 1/score with float4 rounding parity (∞ at score 0). */
+  def distance(cq: CompiledQuery,
+               keyPositions: Array[Array[Int]],
+               keyWclasses: Array[Array[Byte]]): Float = {
+    val s = score(cq, keyPositions, keyWclasses).toFloat
+    if (s == 0.0f) Float.PositiveInfinity else 1.0f / s
+  }
+}

@@ -1,0 +1,98 @@
+package graft.tokenize
+
+import scala.collection.mutable
+
+/** Deterministic tokenizers — the engine's analogue of RUM's
+  * extractValue support procs (reference: src/rumutil.c:707-861
+  * rumExtractEntries sorts + dedups keys keeping per-key payloads;
+  * src/rum_ts_utils.c:523-624 rum_extract_tsvector emits one entry per
+  * lexeme with compressed positions).
+  *
+  * Two specs, both stemmer-free and fully reproducible in SQL oracles:
+  *
+  *  - [[Tokenizer.simple]]: lowercase, tokens = maximal `[a-z0-9]+` runs;
+  *    positions are 1-based token ordinals. Matches DuckDB
+  *    `regexp_extract_all(lower(text), '[a-z0-9]+')`.
+  *
+  *  - [[Tokenizer.code]]: same runs but camelCase humps are split before
+  *    lowercasing (`getFooBar` → get, foo, bar), giving code-corpus recall;
+  *    weight class A (3) for tokens that look like definitions is left to
+  *    callers — the tokenizer itself emits class D (0).
+  */
+object Tokenizer {
+
+  final case class TermOccs(term: String, positions: Array[Int], wclasses: Array[Byte]) {
+    def tf: Int = positions.length
+  }
+
+  /** Lowercase alnum-run tokens, in order. */
+  def simpleTokens(text: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      val lc = Character.toLowerCase(c)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  /** camelCase-splitting token stream for source code. Splits on
+    * lower→Upper boundaries and ALLCAPS→Capitalized word boundaries
+    * (`parseHTTPResponse` → parse, http, response), then lowercases.
+    */
+  def codeTokens(text: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    def flush(): Unit = if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+    var i = 0
+    val n = text.length
+    var prevLower = false
+    var prevUpper = false
+    while (i < n) {
+      val c = text.charAt(i)
+      val isLower = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      val isUpper = c >= 'A' && c <= 'Z'
+      if (isLower || isUpper) {
+        if (isUpper && prevLower) flush() // fooBar → foo|Bar
+        else if (isUpper && prevUpper && i + 1 < n) {
+          val next = text.charAt(i + 1)
+          if (next >= 'a' && next <= 'z') flush() // HTTPResponse → HTTP|Response
+        }
+        sb.append(Character.toLowerCase(c))
+      } else flush()
+      prevLower = isLower
+      prevUpper = isUpper
+      i += 1
+    }
+    flush()
+    out.toArray
+  }
+
+  /** Group a token stream into per-term sorted positions (1-based), the
+    * (key, payload) shape of rumExtractEntries output. Weight class fixed
+    * at D (0) unless `wclassOf` overrides per token.
+    */
+  def occurrences(tokens: Array[String],
+                  wclassOf: (String, Int) => Byte = (_, _) => 0.toByte): Array[TermOccs] = {
+    val m = mutable.LinkedHashMap.empty[String, (mutable.ArrayBuffer[Int], mutable.ArrayBuffer[Byte])]
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      val e = m.getOrElseUpdate(t, (mutable.ArrayBuffer.empty[Int], mutable.ArrayBuffer.empty[Byte]))
+      e._1 += (i + 1)
+      e._2 += wclassOf(t, i + 1)
+      i += 1
+    }
+    m.iterator.map { case (t, (ps, ws)) => TermOccs(t, ps.toArray, ws.toArray) }
+      .toArray.sortBy(_.term)
+  }
+
+  def simple(text: String): Array[TermOccs] = occurrences(simpleTokens(text))
+  def code(text: String): Array[TermOccs] = occurrences(codeTokens(text))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.query._
+
+/** Rank-identity anchors against the reference's expected outputs
+  * (/root/reference/expected/rum.out:122-152): the tsvectors below are the
+  * indexed docs printed there, distances are the reference's float4 values.
+  */
+class CoverRankSpec extends AnyFunSuite {
+
+  private def dist(queryStr: String, terms: Map[String, Array[Int]]): Float = {
+    val cq = CompiledQuery.compile(TsQueryParser.parse(queryStr))
+    val kp = cq.keys.map(k => terms.get(k.term).orNull)
+    val kw = kp.map(p => if (p == null) null else Array.fill[Byte](p.length)(0))
+    CoverRank.distance(cq, kp, kw)
+  }
+
+  private val d1 = Map("appreci" -> Array(2), "complimentari" -> Array(8),
+    "send" -> Array(12), "way" -> Array(9))
+  private val d2 = Map("castl" -> Array(10), "half" -> Array(11), "look" -> Array(7),
+    "put" -> Array(2), "spec" -> Array(5), "way" -> Array(12))
+  private val d3 = Map("fragment" -> Array(6), "gave" -> Array(10), "hang" -> Array(14),
+    "still" -> Array(13), "way" -> Array(11), "well" -> Array(2))
+  private val d4 = Map("far" -> Array(11), "go" -> Array(3, 7), "reach" -> Array(15),
+    "think" -> Array(1), "way" -> Array(14))
+
+  private def approx(a: Float, b: Float, tol: Double = 1e-4): Boolean =
+    math.abs(a - b) / math.max(1.0, math.abs(b)) < tol
+
+  test("single-term cover: distance 16.4493 (expected/rum.out:128-131)") {
+    for (d <- Seq(d1, d2, d3, d4))
+      assert(approx(dist("way", d), 16.4493f), s"got ${dist("way", d)}")
+  }
+
+  test("adjacent two-term cover: 8.22467 (expected/rum.out:140)") {
+    assert(approx(dist("way & (go | half)", d2), 8.22467f), s"got ${dist("way & (go | half)", d2)}")
+  }
+
+  test("spread cover with noise: 57.5727 (expected/rum.out:141)") {
+    assert(approx(dist("way & (go | half)", d4), 57.5727f), s"got ${dist("way & (go | half)", d4)}")
+  }
+
+  test("no match → infinite distance") {
+    assert(dist("way & (go | half)", d1).isInfinite)
+    assert(dist("zeta", d1).isInfinite)
+  }
+
+  test("repeated identical covers decay by 1/l^2 (calc_score_docr)") {
+    // one 'foo' occurrence: score = 0.1/zeta2 → dist 16.4493
+    val one = Map("foo" -> Array(5))
+    assert(approx(dist("foo", one), 16.4493f))
+    // three 'foo' occurrences: identical cover composition → slot decays
+    // score = 0.1/z * (1 + 1/4 + 1/9)
+    val three = Map("foo" -> Array(5, 9, 13))
+    val expected = 1.0 / ((0.1 / 1.64493406685) * (1.0 + 0.25 + 1.0 / 9))
+    assert(approx(dist("foo", three), expected.toFloat), s"got ${dist("foo", three)} want $expected")
+  }
+
+  test("weighted occurrences change InvSum") {
+    // class A (3) single occurrence: InvSum=1 → Cpos=1 → score=1/zeta2
+    val cq = CompiledQuery.compile(TsQueryParser.parse("foo"))
+    val d = CoverRank.distance(cq, Array(Array(5)), Array(Array[Byte](3)))
+    assert(approx(d, 1.64493406685f))
+  }
+
+  test("phrase query ranking: def <-> fgr") {
+    val d = Map("def" -> Array(4), "fgr" -> Array(5))
+    val dd = dist("def <-> fgr", d)
+    // cover [4,5]: occ=2, InvSum=20, nitems=2, Cpos=0.2, noise=0 → 8.22467
+    assert(approx(dd, 8.22467f), s"got $dd")
+  }
+}
