@@ -1,0 +1,109 @@
+package graft.build
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Per-shard build record — RUM's meta-page stats (reference:
+  * src/rum.h:67-102 nEntries/nDataPages/..., updated at
+  * src/ruminsert.c:676-677) generalized to lineage + metrics per segment
+  * shard, as the scaling/resumability contract requires.
+  */
+final case class ShardMeta(
+    shard: Int,
+    terms: Long,
+    chunkRows: Long,
+    postings: Long,
+    buildMs: Long,
+    committedAtMs: Long)
+
+/** Index-level manifest. `paramsHash` fingerprints everything that affects
+  * index content so a resume against different params is refused.
+  */
+final case class IndexMeta(
+    formatVersion: Int,
+    numDocs: Long,
+    totalTokens: Long,
+    avgLen: Double,
+    nShards: Int,
+    blockSize: Int,
+    maxPostingsPerChunk: Int,
+    tokenizer: String,
+    inputLineage: String,
+    paramsHash: String,
+    shards: List[ShardMeta]) {
+  def committedShards: Set[Int] = shards.map(_.shard).toSet
+  def isComplete: Boolean = committedShards.size == nShards
+}
+
+/** Immutable-segments + atomic-manifest table semantics (the sandbox has no
+  * Iceberg jars; this trait mirrors Iceberg's snapshot commit model —
+  * parquet data files are immutable, the manifest is replaced atomically
+  * via write-tmp + ATOMIC_MOVE — so the storage layer can be swapped for an
+  * Iceberg catalog without touching build/query code).
+  *
+  * Serialization is a deliberately dependency-free line format (k=v) —
+  * no JSON library drift across Spark versions.
+  */
+object SegmentCatalog {
+  private def metaPath(indexDir: String): Path = Paths.get(indexDir, "_meta", "manifest.txt")
+
+  def postingsDir(indexDir: String): String = s"$indexDir/postings"
+  def docsDir(indexDir: String): String = s"$indexDir/docs"
+  def statsDir(indexDir: String): String = s"$indexDir/stats"
+
+  def save(indexDir: String, meta: IndexMeta): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"formatVersion=${meta.formatVersion}\n")
+    sb.append(s"numDocs=${meta.numDocs}\n")
+    sb.append(s"totalTokens=${meta.totalTokens}\n")
+    sb.append(s"avgLen=${meta.avgLen}\n")
+    sb.append(s"nShards=${meta.nShards}\n")
+    sb.append(s"blockSize=${meta.blockSize}\n")
+    sb.append(s"maxPostingsPerChunk=${meta.maxPostingsPerChunk}\n")
+    sb.append(s"tokenizer=${meta.tokenizer}\n")
+    sb.append(s"inputLineage=${meta.inputLineage.replace("\n", " ")}\n")
+    sb.append(s"paramsHash=${meta.paramsHash}\n")
+    meta.shards.sortBy(_.shard).foreach { s =>
+      sb.append(s"shard=${s.shard},${s.terms},${s.chunkRows},${s.postings},${s.buildMs},${s.committedAtMs}\n")
+    }
+    val p = metaPath(indexDir)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling("manifest.txt.tmp")
+    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def load(indexDir: String): Option[IndexMeta] = {
+    val p = metaPath(indexDir)
+    if (!Files.exists(p)) return None
+    val lines = Files.readAllLines(p)
+    val kv = scala.collection.mutable.Map.empty[String, String]
+    val shards = scala.collection.mutable.ListBuffer.empty[ShardMeta]
+    lines.forEach { line =>
+      val eq = line.indexOf('=')
+      if (eq > 0) {
+        val (k, v) = (line.substring(0, eq), line.substring(eq + 1))
+        if (k == "shard") {
+          val f = v.split(",")
+          shards += ShardMeta(f(0).toInt, f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong)
+        } else kv(k) = v
+      }
+    }
+    Some(IndexMeta(
+      formatVersion = kv("formatVersion").toInt,
+      numDocs = kv("numDocs").toLong,
+      totalTokens = kv("totalTokens").toLong,
+      avgLen = kv("avgLen").toDouble,
+      nShards = kv("nShards").toInt,
+      blockSize = kv("blockSize").toInt,
+      maxPostingsPerChunk = kv("maxPostingsPerChunk").toInt,
+      tokenizer = kv("tokenizer"),
+      inputLineage = kv("inputLineage"),
+      paramsHash = kv("paramsHash"),
+      shards = shards.toList))
+  }
+}

@@ -12,12 +12,18 @@ import scala.collection.mutable.ArrayBuffer
   * (src/rum.h:289-303, src/rumdatapage.c:1321-1371): first/last docId for
   * seeking past whole blocks, and maxTf for block-max WAND score bounds.
   *
+  * Per-posting doc length rides along too — the analogue of RUM's *addon
+  * column* payload (reference: src/ruminsert.c:505-515 stamps an attached
+  * column's value into every posting) — so BM25 needs no docId join at
+  * query time.
+  *
   * @param firstDoc  smallest docId in the block
   * @param lastDoc   largest docId in the block
   * @param n         number of postings
   * @param maxTf     max true term frequency in the block (WAND upper bound)
   * @param docs      varbyte delta-encoded docIds
   * @param tfs       varbyte true term frequencies (may exceed stored #pos)
+  * @param lens      varbyte doc token counts (BM25 length norm)
   * @param poss      per-doc payload: varint byteLen + PositionCodec bytes
   */
 case class PostingBlock(
@@ -27,30 +33,33 @@ case class PostingBlock(
     maxTf: Int,
     docs: Array[Byte],
     tfs: Array[Byte],
+    lens: Array[Byte],
     poss: Array[Byte])
 
 object PostingBlock {
   val DefaultSize = 256
 }
 
-/** Accumulates (docId, tf, encodedPositions) in strictly increasing docId
-  * order and packs [[PostingBlock]]s. Mirrors RUM's build-time list packing
-  * (src/ruminsert.c:112-239 RumFormTuple) with a fixed posting budget per
-  * block instead of a page-byte budget.
+/** Accumulates (docId, tf, docLen, encodedPositions) in strictly increasing
+  * docId order and packs [[PostingBlock]]s. Mirrors RUM's build-time list
+  * packing (src/ruminsert.c:112-239 RumFormTuple) with a fixed posting
+  * budget per block instead of a page-byte budget.
   */
 final class PostingListBuilder(blockSize: Int = PostingBlock.DefaultSize) {
   private val blocks = ArrayBuffer.empty[PostingBlock]
   private var docIds = new ArrayBuffer[Long](blockSize)
   private var tfs = new ArrayBuffer[Int](blockSize)
+  private var lens = new ArrayBuffer[Int](blockSize)
   private val posBuf = new java.io.ByteArrayOutputStream()
   private var maxTf = 0
   var totalDocs: Long = 0L
 
-  def add(docId: Long, tf: Int, positions: Array[Byte]): Unit = {
+  def add(docId: Long, tf: Int, docLen: Int, positions: Array[Byte]): Unit = {
     require(docIds.isEmpty || docId > docIds.last,
       s"docIds must be strictly increasing: $docId after ${docIds.last}")
     docIds += docId
     tfs += tf
+    lens += docLen
     if (tf > maxTf) maxTf = tf
     VarByte.writeUInt(posBuf, positions.length.toLong)
     posBuf.write(positions, 0, positions.length)
@@ -67,9 +76,11 @@ final class PostingListBuilder(blockSize: Int = PostingBlock.DefaultSize) {
         maxTf = maxTf,
         docs = VarByte.encodeDeltas(docIds.toArray),
         tfs = VarByte.encodeUInts(tfs.toArray),
+        lens = VarByte.encodeUInts(lens.toArray),
         poss = posBuf.toByteArray)
       docIds = new ArrayBuffer[Long](blockSize)
       tfs = new ArrayBuffer[Int](blockSize)
+      lens = new ArrayBuffer[Int](blockSize)
       posBuf.reset()
       maxTf = 0
     }
@@ -90,6 +101,7 @@ final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
   private var bi = 0                    // block index within current array
   private var curDocs: Array[Long] = _
   private var curTfs: Array[Int] = _
+  private var curLens: Array[Int] = _
   private var curPossOff: Array[Int] = _ // offset of each doc's payload
   private var curPossLen: Array[Int] = _
   private var curPoss: Array[Byte] = _
@@ -110,6 +122,7 @@ final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
     val b = blocks(bi)
     curDocs = VarByte.decodeDeltas(b.docs, b.n)
     curTfs = VarByte.decodeUInts(b.tfs, b.n)
+    curLens = VarByte.decodeUInts(b.lens, b.n)
     curPoss = b.poss
     curPossOff = new Array[Int](b.n)
     curPossLen = new Array[Int](b.n)
@@ -127,6 +140,7 @@ final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
 
   def docId: Long = curDocs(i)
   def tf: Int = curTfs(i)
+  def docLen: Int = curLens(i)
   def maxTfCurBlock: Int = blocks(bi).maxTf
 
   /** Decode the current posting's (positions, wclasses) payload. */
@@ -151,13 +165,15 @@ final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
   /** Advance to first posting with docId >= target (no-op if already). */
   def seek(target: Long): Unit = {
     if (done || curDocs(i) >= target) return
-    // skip whole blocks
-    while (!done && blocks(bi).lastDoc < target) {
-      bi += 1
-      if (bi >= blocks.length) advanceBlockArray()
-      if (!done) loadBlock()
+    // skip whole blocks WITHOUT decoding them — only headers are read
+    if (blocks(bi).lastDoc < target) {
+      while (!done && blocks(bi).lastDoc < target) {
+        bi += 1
+        if (bi >= blocks.length) advanceBlockArray()
+      }
+      if (done) return
+      loadBlock()
     }
-    if (done) return
     // binary search within block
     var lo = i
     var hi = curDocs.length - 1

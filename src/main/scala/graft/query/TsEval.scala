@@ -14,7 +14,7 @@ final class CompiledQuery private (
     /** operand index → distinct key index */
     val opKey: Array[Int],
     /** distinct keys, in first-appearance order */
-    val keys: Array[TsQuery.Lexeme]) {
+    val keys: Array[TsQuery.Lexeme]) extends Serializable {
   def numKeys: Int = keys.length
 }
 

@@ -1,0 +1,408 @@
+package graft.search
+
+import scala.collection.mutable
+
+import graft.build.{DocRow, PostingRow}
+import graft.core.{PostingBlock, PostingCursor}
+import graft.query._
+
+/** Per-shard merge/score kernels. Pure Scala over compressed posting
+  * blocks; runs inside mapGroups/cogroup tasks.
+  */
+object SearchKernel extends Serializable {
+
+  final case class KeySpec(keyIdx: Int, term: String, prefix: Boolean)
+
+  def keySpecs(cq: CompiledQuery): Array[KeySpec] =
+    cq.keys.zipWithIndex.map { case (l, i) => KeySpec(i, l.term, l.prefix) }
+
+  /** Key indexes with at least one positive-polarity occurrence — these
+    * streams can generate candidates; a doc matching the query must contain
+    * one of them unless the query matches the empty doc (then only a full
+    * scan is complete — RUM's EVERYTHING search mode, src/rumscan.c:144).
+    */
+  def positiveKeys(cq: CompiledQuery): Array[Int] = {
+    import CompiledQuery._
+    val pos = mutable.Set.empty[Int]
+    def go(n: CNode, neg: Boolean): Unit = n match {
+      case CLeaf(_, k, _, _) => if (!neg) pos += k
+      case CAnd(a, b) => go(a, neg); go(b, neg)
+      case COr(a, b) => go(a, neg); go(b, neg)
+      case CNot(x) => go(x, !neg)
+      case CPhrase(_, a, b) => go(a, neg); go(b, neg)
+    }
+    go(cq.root, neg = false)
+    pos.toArray.sorted
+  }
+
+  private val emptyProvider = new TsEval.Provider {
+    def positions(k: Int): Array[Int] = null
+    def wclasses(k: Int): Array[Byte] = null
+  }
+
+  def matchesEmptyDoc(cq: CompiledQuery): Boolean = TsEval.matches(cq, emptyProvider)
+
+  def needsFullScan(cq: CompiledQuery): Boolean =
+    positiveKeys(cq).isEmpty || matchesEmptyDoc(cq)
+
+  // ------------------------------------------------------------------
+  // cursors
+  // ------------------------------------------------------------------
+
+  /** Uniform view of one query key's posting stream in a shard. */
+  sealed trait KeyCursor {
+    def done: Boolean
+    def docId: Long
+    def next(): Unit
+    def seek(target: Long): Unit
+    def tf: Int
+    def docLen: Int
+    def positions: (Array[Int], Array[Byte])
+  }
+
+  object EmptyCursor extends KeyCursor {
+    def done = true
+    def docId = Long.MaxValue
+    def next(): Unit = ()
+    def seek(target: Long): Unit = ()
+    def tf = 0
+    def docLen = 0
+    def positions: (Array[Int], Array[Byte]) = (Array.emptyIntArray, Array.emptyByteArray)
+  }
+
+  final class SingleCursor(val cur: PostingCursor) extends KeyCursor {
+    def done: Boolean = cur.done
+    def docId: Long = cur.docId
+    def next(): Unit = cur.next()
+    def seek(target: Long): Unit = cur.seek(target)
+    def tf: Int = cur.tf
+    def docLen: Int = cur.docLen
+    def positions: (Array[Int], Array[Byte]) = cur.positions
+  }
+
+  /** Positional union over the expansion of a prefix key — the partial-
+    * match union with payload join (reference: src/rumget.c:292-481
+    * collectMatchBitmap + src/rum_ts_utils.c:1564-1645 rum_ts_join_pos:
+    * duplicate docIds merge their position lists).
+    */
+  final class UnionCursor(members: Array[PostingCursor]) extends KeyCursor {
+    private var minDoc = Long.MaxValue
+    recomputeMin()
+
+    private def recomputeMin(): Unit = {
+      minDoc = Long.MaxValue
+      var i = 0
+      while (i < members.length) {
+        if (!members(i).done && members(i).docId < minDoc) minDoc = members(i).docId
+        i += 1
+      }
+    }
+
+    def done: Boolean = minDoc == Long.MaxValue
+    def docId: Long = minDoc
+
+    def next(): Unit = {
+      var i = 0
+      while (i < members.length) {
+        if (!members(i).done && members(i).docId == minDoc) members(i).next()
+        i += 1
+      }
+      recomputeMin()
+    }
+
+    def seek(target: Long): Unit = {
+      if (minDoc >= target) return
+      var i = 0
+      while (i < members.length) {
+        if (!members(i).done) members(i).seek(target)
+        i += 1
+      }
+      recomputeMin()
+    }
+
+    def tf: Int = {
+      var s = 0
+      var i = 0
+      while (i < members.length) {
+        if (!members(i).done && members(i).docId == minDoc) s += members(i).tf
+        i += 1
+      }
+      s
+    }
+
+    def docLen: Int = {
+      var i = 0
+      while (i < members.length) {
+        if (!members(i).done && members(i).docId == minDoc) return members(i).docLen
+        i += 1
+      }
+      0
+    }
+
+    def positions: (Array[Int], Array[Byte]) = {
+      val ps = mutable.ArrayBuffer.empty[(Int, Byte)]
+      var i = 0
+      while (i < members.length) {
+        if (!members(i).done && members(i).docId == minDoc) {
+          val (p, w) = members(i).positions
+          var j = 0
+          while (j < p.length) { ps += ((p(j), w(j))); j += 1 }
+        }
+        i += 1
+      }
+      val sorted = ps.sortBy(_._1)
+      (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    }
+  }
+
+  /** Build one cursor per query key from the shard's posting rows.
+    * Chunk rows of one term are ordered by their first docId (disjoint
+    * ranges by construction — the builder splits long terms by docId range).
+    */
+  def buildCursors(keys: Array[KeySpec], rows: Iterator[PostingRow]): Array[KeyCursor] = {
+    val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingRow]]
+    rows.foreach { r =>
+      byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r
+    }
+    def termCursor(t: String): PostingCursor = {
+      val chunks = byTerm(t).sortBy(_.blocks.head.firstDoc).map(_.blocks).iterator
+      new PostingCursor(chunks)
+    }
+    keys.map { k =>
+      if (!k.prefix) {
+        if (byTerm.contains(k.term)) new SingleCursor(termCursor(k.term)) else EmptyCursor
+      } else {
+        val terms = byTerm.keysIterator.filter(_.startsWith(k.term)).toArray
+        if (terms.isEmpty) EmptyCursor
+        else new UnionCursor(terms.map(termCursor))
+      }
+    }
+  }
+
+  /** Provider over the current candidate: positions decoded lazily, cached
+    * per key per candidate.
+    */
+  private final class CursorProvider(cursors: Array[KeyCursor]) extends TsEval.Provider {
+    private val cachePos = new Array[Array[Int]](cursors.length)
+    private val cacheW = new Array[Array[Byte]](cursors.length)
+    private val cached = new Array[Boolean](cursors.length)
+    var cand: Long = -1L
+
+    def reset(c: Long): Unit = {
+      cand = c
+      java.util.Arrays.fill(cached, false)
+    }
+
+    private def load(k: Int): Unit = {
+      if (!cached(k)) {
+        val cur = cursors(k)
+        if (!cur.done && cur.docId == cand) {
+          val (p, w) = cur.positions
+          // empty payload (no positions stored) still means "present":
+          // represent as a single sentinel position so boolean eval works
+          if (p.length == 0) { cachePos(k) = Array(1); cacheW(k) = Array(0.toByte) }
+          else { cachePos(k) = p; cacheW(k) = w }
+        } else { cachePos(k) = null; cacheW(k) = null }
+        cached(k) = true
+      }
+    }
+
+    def positions(k: Int): Array[Int] = { load(k); cachePos(k) }
+    def wclasses(k: Int): Array[Byte] = { load(k); cacheW(k) }
+  }
+
+  // ------------------------------------------------------------------
+  // match / rank drivers
+  // ------------------------------------------------------------------
+
+  /** Bounded best-k collector: keeps k smallest (distance, docId). */
+  private final class TopKHeap(k: Int) {
+    // max-heap on (distance, docId): head = current worst
+    private val pq = mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    def offer(dist: Double, docId: Long): Unit = {
+      if (pq.size < k) pq.enqueue((dist, docId))
+      else {
+        val (wd, wid) = pq.head
+        if (dist < wd || (dist == wd && docId < wid)) {
+          pq.dequeue(); pq.enqueue((dist, docId))
+        }
+      }
+    }
+    def worstOrInf: Double = if (pq.size < k) Double.PositiveInfinity else pq.head._1
+    def drain(): Iterator[(Long, Double)] = pq.iterator.map { case (d, id) => (id, d) }.toArray.iterator
+  }
+
+  /** Regular scan driver (scanGetItemRegular, src/rumget.c:1426-1568):
+    * candidates = min over positive-key streams; all key cursors seek to
+    * the candidate; full consistency + optional cover-density scoring.
+    * Returns (docId, distance) — distance 0.0 when score=false.
+    */
+  def matchShard(cq: CompiledQuery, keys: Array[KeySpec], rows: Iterator[PostingRow],
+                 score: Boolean, k: Int): Iterator[(Long, Double)] = {
+    val cursors = buildCursors(keys, rows)
+    val candIdx = positiveKeys(cq)
+    driver(cq, cursors, candidateStream(cursors, candIdx), score, matchOnly = true, k)
+  }
+
+  /** Full-corpus scan driver (scanGetItemFull, src/rumget.c:2024-2083):
+    * candidates = every doc in the shard.
+    */
+  def fullScanShard(cq: CompiledQuery, keys: Array[KeySpec], docIt: Iterator[DocRow],
+                    rows: Iterator[PostingRow], score: Boolean, matchOnly: Boolean,
+                    k: Int): Iterator[(Long, Double)] = {
+    val cursors = buildCursors(keys, rows)
+    driver(cq, cursors, docIt.map(_.docId), score, matchOnly, k)
+  }
+
+  /** Candidate docIds = ascending union of the given key streams.
+    * NOTE: consumes the cursors' position by peeking mins; the driver
+    * re-seeks all cursors per candidate, which is safe because candidates
+    * ascend monotonically.
+    */
+  private def candidateStream(cursors: Array[KeyCursor], candIdx: Array[Int]): Iterator[Long] =
+    new Iterator[Long] {
+      private var nextCand = Long.MaxValue
+      private var last = Long.MinValue
+      private def advance(): Unit = {
+        nextCand = Long.MaxValue
+        var i = 0
+        while (i < candIdx.length) {
+          val c = cursors(candIdx(i))
+          if (!c.done && c.docId <= last) c.seek(last + 1)
+          if (!c.done && c.docId < nextCand) nextCand = c.docId
+          i += 1
+        }
+      }
+      def hasNext: Boolean = { advance(); nextCand != Long.MaxValue }
+      def next(): Long = { advance(); last = nextCand; nextCand }
+    }
+
+  private def driver(cq: CompiledQuery, cursors: Array[KeyCursor], cands: Iterator[Long],
+                     score: Boolean, matchOnly: Boolean, k: Int): Iterator[(Long, Double)] = {
+    val provider = new CursorProvider(cursors)
+    val out = mutable.ArrayBuffer.empty[(Long, Double)]
+    val heap = if (k > 0 && score) new TopKHeap(k) else null
+    while (cands.hasNext) {
+      val cand = cands.next()
+      var i = 0
+      while (i < cursors.length) {
+        val c = cursors(i)
+        if (!c.done && c.docId < cand) c.seek(cand)
+        i += 1
+      }
+      provider.reset(cand)
+      val isMatch = TsEval.matches(cq, provider)
+      if (isMatch || !matchOnly) {
+        val d =
+          if (!score) 0.0
+          else {
+            val kp = new Array[Array[Int]](cq.numKeys)
+            val kw = new Array[Array[Byte]](cq.numKeys)
+            var j = 0
+            while (j < cq.numKeys) { kp(j) = provider.positions(j); kw(j) = provider.wclasses(j); j += 1 }
+            CoverRank.distance(cq, kp, kw).toDouble
+          }
+        if (heap != null) heap.offer(d, cand) else out += ((cand, d))
+      }
+    }
+    if (heap != null) heap.drain() else out.iterator
+  }
+
+  // ------------------------------------------------------------------
+  // BM25 WAND
+  // ------------------------------------------------------------------
+
+  /** WAND top-k over a bag of terms (fast scan, src/rumget.c:1900-2017:
+    * frontier sorted by current docId, advance only when the upper-bound
+    * sum can beat the threshold). Upper bounds from per-term maxTf; block
+    * seeks skip compressed blocks via first/last metadata.
+    * Emits the shard-local top-k.
+    */
+  def wandShard(terms: Array[String], dfs: Array[Long], ubs: Array[Double],
+                numDocs: Long, avgLen: Double, k: Int,
+                rows: Iterator[PostingRow]): Iterator[(Long, Double)] = {
+    val specs = terms.zipWithIndex.map { case (t, i) => KeySpec(i, t, prefix = false) }
+    val cursors = buildCursors(specs, rows)
+    val nT = terms.length
+    // heap keeps k best: evict smallest score (ties: evict larger docId)
+    val pq = mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) })
+    def theta: Double = if (pq.size < k) -1.0 else pq.head._1
+    def offer(s: Double, id: Long): Unit = {
+      if (pq.size < k) pq.enqueue((s, id))
+      else {
+        val (ws, wid) = pq.head
+        if (s > ws || (s == ws && id < wid)) { pq.dequeue(); pq.enqueue((s, id)) }
+      }
+    }
+
+    val order = (0 until nT).toArray // indexes sorted by cursor docId
+    var running = true
+    while (running) {
+      // sort frontier by docId, done cursors sink to the end (insertion
+      // sort: the frontier is nearly sorted between rounds)
+      var a = 1
+      while (a < nT) {
+        val v = order(a)
+        val vd = if (cursors(v).done) Long.MaxValue else cursors(v).docId
+        var b = a - 1
+        while (b >= 0 && (if (cursors(order(b)).done) Long.MaxValue else cursors(order(b)).docId) > vd) {
+          order(b + 1) = order(b); b -= 1
+        }
+        order(b + 1) = v
+        a += 1
+      }
+      if (cursors(order(0)).done) running = false
+      else {
+        // find pivot: first frontier index where cumulative UB beats theta
+        val th = theta
+        var cum = 0.0
+        var pivot = -1
+        var i = 0
+        while (i < nT && pivot < 0) {
+          val c = cursors(order(i))
+          if (!c.done) {
+            cum += ubs(order(i))
+            if (cum > th) pivot = i
+          }
+          i += 1
+        }
+        if (pivot < 0) running = false
+        else {
+          val pivotDoc = cursors(order(pivot)).docId
+          if (cursors(order(0)).docId == pivotDoc) {
+            // fully evaluate pivotDoc
+            var s = 0.0
+            var j = 0
+            while (j < nT) {
+              val c = cursors(order(j))
+              if (!c.done) {
+                if (c.docId < pivotDoc) c.seek(pivotDoc)
+                if (!c.done && c.docId == pivotDoc)
+                  s += Bm25.termScore(c.tf, dfs(order(j)), c.docLen.toLong, avgLen, numDocs)
+              }
+              j += 1
+            }
+            offer(s, pivotDoc)
+            j = 0
+            while (j < nT) {
+              val c = cursors(order(j))
+              if (!c.done && c.docId == pivotDoc) c.next()
+              j += 1
+            }
+          } else {
+            // advance laggards up to pivotDoc
+            var j = 0
+            while (j < pivot) {
+              val c = cursors(order(j))
+              if (!c.done && c.docId < pivotDoc) c.seek(pivotDoc)
+              j += 1
+            }
+          }
+        }
+      }
+    }
+    pq.iterator.map { case (s, id) => (id, s) }.toArray.iterator
+  }
+}

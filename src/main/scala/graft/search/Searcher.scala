@@ -1,0 +1,139 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.{DocRow, IndexMeta, PostingRow, SegmentCatalog}
+import graft.core.{PositionCodec, PostingBlock, PostingCursor}
+import graft.query._
+
+/** Query execution over a built index.
+  *
+  * Spark plan shape (the RUM scan pipeline, re-expressed):
+  *   1. parquet scan of posting rows with `term` predicates pushed down —
+  *      the entry-tree descent (reference: src/rumget.c:536-696
+  *      startScanEntry); partition/row-group pruning stands in for the
+  *      B-tree.
+  *   2. groupByKey(shard) → per-shard typed merge kernel — the k-way
+  *      posting merge + consistency check (src/rumget.c:1426-1568
+  *      scanGetItemRegular) with prefix expansion as positional union
+  *      (src/rumget.c:1124-1296 entryGetItem + rum_ts_join_pos).
+  *      Only the query terms' postings move in the shuffle.
+  *   3. scores computed inside the kernel from payloads (positions) —
+  *      index-side ordering, the defining RUM capability (README.md:80-136)
+  *   4. per-shard top-k heap → global TakeOrderedAndProject.
+  */
+final class Searcher(spark: SparkSession, indexDir: String) {
+  import spark.implicits._
+
+  val meta: IndexMeta = SegmentCatalog.load(indexDir)
+    .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
+
+  private def postings: Dataset[PostingRow] =
+    spark.read.parquet(SegmentCatalog.postingsDir(indexDir)).as[PostingRow]
+
+  private def docs: Dataset[DocRow] =
+    spark.read.parquet(SegmentCatalog.docsDir(indexDir))
+      .select(col("shard"), col("docId"), col("len")).as[DocRow]
+
+  /** term predicate for the parquet scan — exact terms via IN (dictionary/
+    * stats pruning), prefixes via range [p, p+MAXCHAR).
+    */
+  private def termPredicate(cq: CompiledQuery): Column = {
+    val exact = cq.keys.filter(!_.prefix).map(_.term).distinct
+    val prefixes = cq.keys.filter(_.prefix).map(_.term).distinct
+    val preds = scala.collection.mutable.ArrayBuffer.empty[Column]
+    if (exact.nonEmpty) preds += col("term").isin(exact: _*)
+    prefixes.foreach { p =>
+      preds += (col("term") >= p && col("term") < (p + "￿"))
+    }
+    preds.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  def compile(queryStr: String): CompiledQuery =
+    CompiledQuery.compile(TsQueryParser.parse(queryStr))
+
+  /** docIds matching the query (the bitmap-scan sink, rumgetbitmap —
+    * src/rumget.c:2105-2145). Unordered.
+    */
+  def matchingDocs(queryStr: String): DataFrame = {
+    val cq = compile(queryStr)
+    if (SearchKernel.needsFullScan(cq))
+      fullScan(cq, score = false, matchOnly = true, k = 0).select(col("docId"))
+    else {
+      val keys = SearchKernel.keySpecs(cq)
+      postings.where(termPredicate(cq))
+        .groupByKey(_.shard)
+        .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
+          SearchKernel.matchShard(cq, keys, it, score = false, k = 0))
+        .map(_._1).toDF("docId")
+    }
+  }
+
+  def count(queryStr: String): Long = matchingDocs(queryStr).count()
+
+  /** Ranked search: WHERE t @@ q ORDER BY t <=> q LIMIT k — the
+    * rum.sql golden shape; distance = cover-density (CoverRank), ties by
+    * docId ascending (reference tie-break on TID, src/rumsort.c:4003-4021).
+    * With matchOnly=false behaves like order-only scan over all docs
+    * (EVERYTHING mode): non-matching docs carry infinite distance.
+    */
+  def topKCover(queryStr: String, k: Int, matchOnly: Boolean = true): DataFrame = {
+    val cq = compile(queryStr)
+    val base =
+      if (!matchOnly || SearchKernel.needsFullScan(cq))
+        fullScan(cq, score = true, matchOnly = matchOnly, k = k)
+      else {
+        val keys = SearchKernel.keySpecs(cq)
+        postings.where(termPredicate(cq))
+          .groupByKey(_.shard)
+          .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
+            SearchKernel.matchShard(cq, keys, it, score = true, k = k))
+          .toDF("docId", "distance")
+      }
+    base.orderBy(col("distance").asc, col("docId").asc).limit(k)
+  }
+
+  /** Classic BM25 disjunctive top-k over bag-of-terms with WAND pruning
+    * (the fast-scan analogue, src/rumget.c:1900-2017). Scores use true tf
+    * and doc length carried in the posting payload (addon-column pattern).
+    */
+  def topKBm25(terms: Seq[String], k: Int): DataFrame = {
+    val distinct = terms.distinct
+    val statRows = spark.read.parquet(SegmentCatalog.statsDir(indexDir))
+      .where(col("term").isin(distinct: _*))
+      .select("term", "df", "maxTf").collect()
+    val stats = statRows.map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val present = distinct.filter(stats.contains)
+    if (present.isEmpty) return spark.emptyDataFrame
+      .select(lit(0L).as("docId"), lit(0.0).as("score")).limit(0)
+    val n = meta.numDocs
+    val avgLen = meta.avgLen
+    val termsArr = present.toArray
+    val dfArr = termsArr.map(t => stats(t)._1)
+    val ubArr = termsArr.indices.map(i =>
+      Bm25.maxTermScore(stats(termsArr(i))._2, dfArr(i), avgLen, n)).toArray
+
+    postings.where(col("term").isin(termsArr.toSeq: _*))
+      .groupByKey(_.shard)
+      .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
+        SearchKernel.wandShard(termsArr, dfArr, ubArr, n, avgLen, k, it))
+      .toDF("docId", "score")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** Full-corpus scan joined with order-key postings (scanGetItemFull,
+    * src/rumget.c:2024-2083): candidate stream = docs table per shard,
+    * sorted by docId; posting cursors pulled along for scoring.
+    */
+  private def fullScan(cq: CompiledQuery, score: Boolean, matchOnly: Boolean, k: Int): DataFrame = {
+    val keys = SearchKernel.keySpecs(cq)
+    val docsG = docs.groupByKey(_.shard)
+    val postG = postings.where(termPredicate(cq)).groupByKey(_.shard)
+    docsG.cogroupSorted(postG)(col("docId").asc)(col("term").asc)(
+      (shard: Int, docIt: Iterator[DocRow], postIt: Iterator[PostingRow]) =>
+        SearchKernel.fullScanShard(cq, keys, docIt, postIt, score, matchOnly, k))
+      .toDF("docId", "distance")
+  }
+}

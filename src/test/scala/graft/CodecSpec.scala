@@ -66,7 +66,7 @@ class CodecSpec extends AnyFunSuite {
     docs.zipWithIndex.foreach { case (d, i) =>
       val pos = Array(1 + (i % 5), 10 + (i % 5))
       val enc = PositionCodec.encode(pos, Array[Byte](0, 1))
-      b.add(d, i % 9 + 1, enc)
+      b.add(d, i % 9 + 1, 20, enc)
     }
     val blocks = b.result()
     assert(blocks.map(_.n).sum == n)
@@ -99,7 +99,7 @@ class CodecSpec extends AnyFunSuite {
     val rnd = new Random(99)
     val ids = (1 to 2000).map(_ => rnd.nextLong(1L << 30).abs + 1).distinct.sorted.toArray
     val b = new PostingListBuilder(blockSize = 32)
-    ids.foreach(d => b.add(d, 1, Array.emptyByteArray))
+    ids.foreach(d => b.add(d, 1, 5, Array.emptyByteArray))
     val blocks = b.result()
     for (_ <- 1 to 100) {
       val target = rnd.nextLong(1L << 30) + 1
@@ -114,7 +114,7 @@ class CodecSpec extends AnyFunSuite {
   test("cursor spans multiple chunk arrays") {
     def mk(ids: Array[Long]): Array[PostingBlock] = {
       val b = new PostingListBuilder(blockSize = 4)
-      ids.foreach(d => b.add(d, 1, Array.emptyByteArray))
+      ids.foreach(d => b.add(d, 1, 5, Array.emptyByteArray))
       b.result()
     }
     val cur = new PostingCursor(Iterator(mk(Array(1L, 5L, 9L)), mk(Array(12L, 20L))))
