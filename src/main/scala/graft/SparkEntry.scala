@@ -1,13 +1,417 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.build.IndexBuilder
+import graft.search.Searcher
+import graft.tokenize.Tokenizer
+
+/** Driver contract — each `queries` entry returns a DataFrame over the
+  * parquet tables in `sfDir`; `oracleSql` holds the equivalent DuckDB SQL
+  * over the same tables. Column names/aliases match pairwise.
+  *
+  * Tokenization contract shared by both sides: tokens are maximal
+  * `[a-z0-9]+` runs of the lowercased text, positions are 1-based ordinals
+  * (Spark: graft.tokenize.Tokenizer.simpleTokens; DuckDB:
+  * regexp_extract_all + lateral unnest(range)).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ------------------------------------------------------------------
+  // shared helpers
+  // ------------------------------------------------------------------
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val tokUdf = udf((text: String) => Tokenizer.simpleTokens(if (text == null) "" else text))
+
+  /** (doc_id, term, pos) token table, 1-based positions. */
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), posexplode(tokUdf(col("text"))).as(Seq("pos0", "term")))
+      .select(col("doc_id"), col("term"), (col("pos0") + 1).as("pos"))
+
+  /** 3-token shingles per doc: (doc_id, pos, sh). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tokens(s, dir)
+      .withColumn("t2", lead("term", 1).over(w))
+      .withColumn("t3", lead("term", 2).over(w))
+      .where(col("t3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("term"), col("t2"), col("t3")).as("sh"))
+  }
+
+  /** 60-bit deterministic hash shared with DuckDB:
+    * CAST('0x' || substr(md5(x),1,15) AS BIGINT).
+    */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-sfDir index over documents, built once per JVM. */
+  private object IndexCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def searcher(s: SparkSession, sfDir: String): Searcher = {
+      val idxDir = cache.computeIfAbsent(sfDir, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+        IndexBuilder.build(s, documents(s, sfDir), "doc_id", "text", dir,
+          IndexBuilder.Params(nShards = 8))
+        dir
+      })
+      new Searcher(s, idxDir)
+    }
+  }
+
+  private def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
+
+  // DuckDB token CTE (kept in one place; concatenated into oracle strings)
+  private val ToksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, t.toks[g.i] AS term, g.i AS pos
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |        FROM documents) t,
+      |  LATERAL (SELECT unnest(range(1, len(t.toks)+1)) AS i) g
+      |)""".stripMargin
+
+  private val ShingCte =
+    ToksCte +
+      """,
+        |shing AS (
+        |  SELECT a.doc_id, a.pos, a.term || ' ' || b.term || ' ' || c.term AS sh
+        |  FROM toks a
+        |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // driver contract
+  // ------------------------------------------------------------------
+
+  /** Flagship: BM25 top-k over the documents corpus at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("ft_topk_bm25")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational anchors ----
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_join_topn" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet").where(col("c_mktsegment") === "BUILDING")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("orderkey"))
+        .limit(10)
+    }),
+    "events_hourly" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ---- inverted-index engine over documents ----
+    "ft_count_and" -> ((s, dir) => {
+      val r = IndexCache.searcher(s, dir).count("order & merge")
+      s.range(1).select(lit(r).as("cnt"))
+    }),
+    "ft_count_or" -> ((s, dir) => {
+      val r = IndexCache.searcher(s, dir).count("vector | stream")
+      s.range(1).select(lit(r).as("cnt"))
+    }),
+    "ft_count_notand" -> ((s, dir) => {
+      val r = IndexCache.searcher(s, dir).count("!merge & order")
+      s.range(1).select(lit(r).as("cnt"))
+    }),
+    "ft_match_ids" -> ((s, dir) => {
+      IndexCache.searcher(s, dir).matchingDocs("window & (hash | sort)")
+        .select(col("docId").as("doc_id")).orderBy("doc_id")
+    }),
+    "ft_phrase_count" -> ((s, dir) => {
+      val r = IndexCache.searcher(s, dir).count("key <-> order")
+      s.range(1).select(lit(r).as("cnt"))
+    }),
+    "ft_phrase2_count" -> ((s, dir) => {
+      val r = IndexCache.searcher(s, dir).count("fast <2> scan")
+      s.range(1).select(lit(r).as("cnt"))
+    }),
+    "ft_prefix_count" -> ((s, dir) => {
+      val r = IndexCache.searcher(s, dir).count("win:* & sort")
+      s.range(1).select(lit(r).as("cnt"))
+    }),
+    "ft_topk_bm25" -> ((s, dir) => {
+      IndexCache.searcher(s, dir).topKBm25(Seq("merge", "window", "vector"), 20)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("docId"))
+        .limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("docId"))))
+        .select(col("docId").as("doc_id"), col("score"), col("rank"))
+    }),
+    "ft_topk_cover" -> ((s, dir) => {
+      // cover-density ranking is not SQL-expressible: rows-only oracle;
+      // exact semantics are locked by IndexSpec against the reference
+      IndexCache.searcher(s, dir).topKCover("order & window", 10)
+        .withColumn("distance", round(col("distance"), 4))
+        .select(col("docId").as("doc_id"), col("distance"))
+        .orderBy("distance", "doc_id")
+    }),
+    "ft_df" -> ((s, dir) => {
+      IndexCache.searcher(s, dir)
+        .termStats(Seq("merge", "window", "vector", "the", "zzzabsent"))
+        .orderBy("term")
+    }),
+    "ft_tf" -> ((s, dir) => {
+      IndexCache.searcher(s, dir).termPostings("merge").orderBy("doc_id")
+    }),
+    "ft_doclen" -> ((s, dir) => {
+      IndexCache.searcher(s, dir).docLens.orderBy("doc_id")
+    }),
+
+    // ---- training-data ops: dedup family ----
+    "dedup_exact" -> ((s, dir) => {
+      val w = Window.partitionBy(md5(col("text")))
+      documents(s, dir)
+        .select(col("doc_id"), count(lit(1)).over(w).as("grp_size"),
+          min("doc_id").over(w).as("keeper"))
+        .orderBy("doc_id")
+    }),
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val seeds = s.range(0, 4).select(col("id").cast("int").as("seed"))
+      sh.crossJoin(seeds)
+        .select(col("doc_id"), col("seed"),
+          hash60(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("h"))
+        .groupBy("doc_id", "seed").agg(min("h").as("minhash"))
+        .orderBy("doc_id", "seed")
+    }),
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val sig = queries("dedup_minhash_sig")(s, dir)
+      val a = sig.select(col("doc_id").as("doc_a"), col("seed"), col("minhash"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("seed"), col("minhash"))
+      a.join(b, Seq("seed", "minhash")).where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b")
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      val tf = tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("h", hash60(col("term")))
+      val bits = s.range(0, 16).select(col("id").cast("int").as("b"))
+      tf.crossJoin(bits)
+        .groupBy("doc_id", "b")
+        .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), col("tf"))
+          .otherwise(-col("tf"))).as("v"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      val ss = shingles(s, dir).select("doc_id", "sh").distinct()
+      val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = ss.as("a").join(ss.as("b"),
+          col("a.sh") === col("b.sh") && col("b.doc_id") === col("a.doc_id") + 1)
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("i").as("i_sh"),
+          (col("ca") + col("cb") - col("i")).as("u_sh"))
+        .orderBy("doc_a", "doc_b")
+    }),
+    "fingerprint_bottomk" -> ((s, dir) => {
+      val ss = shingles(s, dir).select("doc_id", "sh").distinct()
+        .withColumn("h", hash60(col("sh")))
+      val w = Window.partitionBy("doc_id").orderBy(col("h"), col("sh"))
+      ss.withColumn("rank", row_number().over(w)).where(col("rank") <= 4)
+        .select("doc_id", "h", "rank").orderBy("doc_id", "rank")
+    }),
+
+    // ---- text analysis ----
+    "text_quality" -> ((s, dir) => {
+      tokens(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct("term").as("n_uniq"),
+          sum(length(col("term"))).as("total_len"),
+          sum(when(col("term").isin("the", "a", "of", "and", "to", "in"), 1L)
+            .otherwise(0L)).as("n_stop"))
+        .orderBy("doc_id")
+    }),
+    "token_counts" -> ((s, dir) => {
+      documents(s, dir).select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("ws_tokens"),
+        size(tokUdf(col("text"))).cast("long").as("re_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search over embeddings ----
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val qNorm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      val qCol = typedlit(q)
+      val dot = aggregate(
+        zip_with(col("embedding"), qCol, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val norm = sqrt(aggregate(
+        transform(col("embedding"), a => a.cast("double") * a.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      emb.select(col("vec_id"), round(dot / (norm * lit(qNorm)), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
+        |round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price, count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_topn" ->
+      """SELECT l_orderkey AS orderkey, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey=o.o_orderkey
+        |WHERE c.c_mktsegment='BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1 ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+        |round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ft_count_and" -> (ToksCte +
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT doc_id FROM toks WHERE term='order'
+        |  INTERSECT SELECT doc_id FROM toks WHERE term='merge') x""".stripMargin),
+    "ft_count_or" -> (ToksCte +
+      "SELECT count(DISTINCT doc_id) AS cnt FROM toks WHERE term IN ('vector','stream')"),
+    "ft_count_notand" -> (ToksCte +
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT DISTINCT doc_id FROM toks WHERE term='order'
+        |  EXCEPT SELECT DISTINCT doc_id FROM toks WHERE term='merge') x""".stripMargin),
+    "ft_match_ids" -> (ToksCte +
+      """SELECT doc_id FROM (
+        |  SELECT doc_id FROM toks WHERE term='window'
+        |  INTERSECT
+        |  SELECT doc_id FROM toks WHERE term IN ('hash','sort')) x
+        |ORDER BY doc_id""".stripMargin),
+    "ft_phrase_count" -> (ToksCte +
+      """SELECT count(DISTINCT a.doc_id) AS cnt FROM toks a
+        |JOIN toks b ON b.doc_id=a.doc_id AND b.pos=a.pos+1
+        |WHERE a.term='key' AND b.term='order'""".stripMargin),
+    "ft_phrase2_count" -> (ToksCte +
+      """SELECT count(DISTINCT a.doc_id) AS cnt FROM toks a
+        |JOIN toks b ON b.doc_id=a.doc_id AND b.pos=a.pos+2
+        |WHERE a.term='fast' AND b.term='scan'""".stripMargin),
+    "ft_prefix_count" -> (ToksCte +
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'win%'
+        |  INTERSECT SELECT DISTINCT doc_id FROM toks WHERE term='sort') x""".stripMargin),
+    "ft_topk_bm25" -> (ToksCte +
+      """,
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1,2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |           (SELECT count(*) FROM toks)*1.0/(SELECT count(*) FROM documents) AS avgl),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1+(n-df+0.5)/(df+0.5)) * (tf*2.2)/(tf+1.2*(0.25+0.75*len/avgl))),4) AS score
+        |  FROM tf JOIN df USING(term) JOIN lens ON lens.doc_id=tf.doc_id CROSS JOIN consts
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    "ft_df" -> (ToksCte +
+      """SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |WHERE term IN ('merge','window','vector','the','zzzabsent')
+        |GROUP BY term ORDER BY term""".stripMargin),
+    "ft_tf" -> (ToksCte +
+      """SELECT doc_id, CAST(count(*) AS INTEGER) AS tf FROM toks WHERE term='merge'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "ft_doclen" -> (ToksCte +
+      """SELECT d.doc_id, CAST(coalesce(t.len,0) AS INTEGER) AS len
+        |FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1) t
+        |ON d.doc_id=t.doc_id ORDER BY d.doc_id""".stripMargin),
+    "dedup_exact" ->
+      """SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS grp_size,
+        |min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_sig" -> (ShingCte +
+      """,
+        |seeds AS (SELECT CAST(unnest(range(0,4)) AS INTEGER) AS seed)
+        |SELECT doc_id, seed,
+        |  min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),1,15) AS BIGINT)) AS minhash
+        |FROM shing, seeds GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin),
+    "dedup_minhash_pairs" -> (ShingCte +
+      """,
+        |seeds AS (SELECT CAST(unnest(range(0,4)) AS INTEGER) AS seed),
+        |sig AS (SELECT doc_id, seed,
+        |  min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),1,15) AS BIGINT)) AS minhash
+        |  FROM shing, seeds GROUP BY doc_id, seed)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM sig a JOIN sig b ON a.seed=b.seed AND a.minhash=b.minhash AND a.doc_id<b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_simhash" -> (ToksCte +
+      """,
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+        |th AS (SELECT doc_id, tf, CAST('0x' || substr(md5(term),1,15) AS BIGINT) AS h FROM tf),
+        |bits AS (SELECT CAST(unnest(range(0,16)) AS INTEGER) AS b),
+        |sums AS (SELECT doc_id, b,
+        |  sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS v
+        |  FROM th, bits GROUP BY 1,2)
+        |SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "dedup_jaccard_pairs" -> (ShingCte +
+      """,
+        |ss AS (SELECT DISTINCT doc_id, sh FROM shing),
+        |sizes AS (SELECT doc_id, count(*) AS c FROM ss GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM ss a JOIN ss b ON a.sh=b.sh AND b.doc_id=a.doc_id+1 GROUP BY 1,2)
+        |SELECT doc_a, doc_b, i AS i_sh, ca.c+cb.c-i AS u_sh
+        |FROM inter JOIN sizes ca ON ca.doc_id=doc_a JOIN sizes cb ON cb.doc_id=doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "fingerprint_bottomk" -> (ShingCte +
+      """,
+        |ss AS (SELECT DISTINCT doc_id, sh FROM shing),
+        |hs AS (SELECT doc_id, sh, CAST('0x' || substr(md5(sh),1,15) AS BIGINT) AS h FROM ss)
+        |SELECT doc_id, h, rank FROM (
+        |  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h, sh) AS rank
+        |  FROM hs) x
+        |WHERE rank <= 4 ORDER BY doc_id, rank""".stripMargin),
+    "text_quality" -> (ToksCte +
+      """SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq,
+        |sum(length(term)) AS total_len,
+        |sum(CASE WHEN term IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS n_stop
+        |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "token_counts" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+        |len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id=0),
+        |pairs AS (SELECT vec_id, e.embedding AS ee, qe FROM embeddings e, q),
+        |elems AS (SELECT vec_id, CAST(ee[g.i] AS DOUBLE) AS a, CAST(qe[g.i] AS DOUBLE) AS b
+        |  FROM pairs, LATERAL (SELECT unnest(range(1, len(ee)+1)) AS i) g),
+        |s AS (SELECT vec_id, sum(a*b) AS dot, sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+        |  FROM elems GROUP BY 1)
+        |SELECT vec_id, round(dot/(na*nb),4) AS sim,
+        |  row_number() OVER (ORDER BY round(dot/(na*nb),4) DESC, vec_id) AS rank
+        |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
 }

@@ -123,6 +123,31 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       .limit(k)
   }
 
+  /** Decoded postings of one term: (doc_id, tf) — the bitmap-scan shape
+    * plus payload-derived tf; used for verification and as a building
+    * block for joins back to the corpus.
+    */
+  def termPostings(term: String): DataFrame = {
+    postings.where(col("term") === term)
+      .flatMap { row =>
+        val cur = new PostingCursor(Iterator(row.blocks))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        while (!cur.done) { out += ((cur.docId, cur.tf)); cur.next() }
+        out.iterator
+      }.toDF("doc_id", "tf")
+  }
+
+  /** Global per-term document frequencies from the stats table. */
+  def termStats(terms: Seq[String]): DataFrame =
+    spark.read.parquet(SegmentCatalog.statsDir(indexDir))
+      .where(col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+
+  /** Doc length table (token counts). */
+  def docLens: DataFrame =
+    spark.read.parquet(SegmentCatalog.docsDir(indexDir))
+      .select(col("docId").as("doc_id"), col("len"))
+
   /** Full-corpus scan joined with order-key postings (scanGetItemFull,
     * src/rumget.c:2024-2083): candidate stream = docs table per shard,
     * sorted by docId; posting cursors pulled along for scoring.
