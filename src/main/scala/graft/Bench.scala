@@ -1,23 +1,81 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.build.IndexBuilder
+import graft.search.Searcher
+import graft.sources.CorpusGen
+
+/** Per-round benchmark. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Sections (all keys land in "queries"):
+  *   corpus_build      — index-build wall sec over the synthetic code corpus
+  *                       (files/sec reported as corpus_files_per_sec)
+  *   query_p50/p95     — BM25 + boolean query latency over that index (sec)
+  *   <driver queries>  — each SparkEntry query once, warm
+  */
 object Bench {
+
+  def queryLatencies(searcher: Searcher, reps: Int): Array[Double] = {
+    val queries = Seq(
+      () => searcher.topKBm25(Seq("merge", "index", "partition"), 10).collect(),
+      () => searcher.topKBm25(Seq("license", "return", "value", "data"), 10).collect(),
+      () => searcher.count("merge & partition"),
+      () => searcher.count("hash | tree | heap"),
+      () => searcher.topKCover("index & (merge | sort)", 10).collect(),
+      () => searcher.count("seg:* & commit"))
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to reps; q <- queries) {
+      val t0 = System.nanoTime()
+      q()
+      times += (System.nanoTime() - t0) / 1e9
+    }
+    times.toArray.sorted
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ---- corpus index build throughput ----
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    val nFiles = sys.env.get("SPARK_GRAFT_CORPUS_FILES").map(_.toLong)
+      .getOrElse(math.max(2000L, (sf * 500000).toLong))
+    val idxDir = java.nio.file.Files.createTempDirectory("benchidx").toString
+    val corpus = CorpusGen.withDocId(CorpusGen.generate(spark, nFiles, cpus.toInt * 2))
+    val tb0 = System.nanoTime()
+    IndexBuilder.build(spark, corpus, "doc_id", "content", idxDir,
+      IndexBuilder.Params(nShards = cpus.toInt, tokenizer = "code"))
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+    results += "corpus_build" -> buildSec
+    results += "corpus_files_per_sec" -> nFiles / buildSec
+
+    // ---- query latency over the corpus index ----
+    val searcher = new Searcher(spark, idxDir)
+    queryLatencies(searcher, 1) // warm: parquet footers, JIT
+    val lat = queryLatencies(searcher, 5)
+    results += "query_p50" -> lat(lat.length / 2)
+    results += "query_p95" -> lat(math.min(lat.length - 1, (lat.length * 0.95).toInt))
+
+    // ---- driver query suite (warm index via first ft_ call) ----
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      results += name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.6f" }.mkString("{", ",", "}")
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

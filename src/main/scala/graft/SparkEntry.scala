@@ -58,7 +58,7 @@ object SparkEntry {
       val idxDir = cache.computeIfAbsent(sfDir, _ => {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
         IndexBuilder.build(s, documents(s, sfDir), "doc_id", "text", dir,
-          IndexBuilder.Params(nShards = 8))
+          IndexBuilder.Params(nShards = 8, attach = Some("n_chars")))
         dir
       })
       new Searcher(s, idxDir)
@@ -170,6 +170,24 @@ object SparkEntry {
         .withColumn("distance", round(col("distance"), 4))
         .select(col("docId").as("doc_id"), col("distance"))
         .orderBy("distance", "doc_id")
+    }),
+    "ft_addon_topk" -> ((s, dir) => {
+      // WHERE t @@ 'merge & window' ORDER BY n_chars <=> 600 LIMIT 10
+      // (RUM addon ordered scan; n_chars rides in the posting payload)
+      IndexCache.searcher(s, dir).topKAddon("merge & window", 600L, "both", 10)
+        .select(col("docId").as("doc_id"), col("addon").as("n_chars"),
+          col("distance").cast("long").as("dist"))
+    }),
+    "ft_addon_left" -> ((s, dir) => {
+      IndexCache.searcher(s, dir).topKAddon("merge & window", 600L, "left", 5)
+        .where(col("distance") =!= Double.PositiveInfinity)
+        .select(col("docId").as("doc_id"), col("addon").as("n_chars"))
+    }),
+    "ft_addon_range" -> ((s, dir) => {
+      IndexCache.searcher(s, dir).matchingWithAddon("merge & window")
+        .where(col("addon") >= 400L && col("addon") <= 700L)
+        .select(col("docId").as("doc_id"), col("addon").as("n_chars"))
+        .orderBy("n_chars", "doc_id")
     }),
     "ft_df" -> ((s, dir) => {
       IndexCache.searcher(s, dir)
@@ -338,6 +356,24 @@ object SparkEntry {
         |SELECT doc_id, score,
         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
         |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    "ft_addon_topk" -> (ToksCte +
+      """SELECT d.doc_id, d.n_chars, CAST(abs(d.n_chars - 600) AS BIGINT) AS dist
+        |FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
+        |ORDER BY dist, d.doc_id LIMIT 10""".stripMargin),
+    "ft_addon_left" -> (ToksCte +
+      """SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
+        |  AND d.n_chars <= 600
+        |ORDER BY 600 - d.n_chars, d.doc_id LIMIT 5""".stripMargin),
+    "ft_addon_range" -> (ToksCte +
+      """SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
+        |  AND d.n_chars BETWEEN 400 AND 700
+        |ORDER BY d.n_chars, d.doc_id""".stripMargin),
     "ft_df" -> (ToksCte +
       """SELECT term, count(DISTINCT doc_id) AS df FROM toks
         |WHERE term IN ('merge','window','vector','the','zzzabsent')

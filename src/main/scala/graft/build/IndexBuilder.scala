@@ -24,9 +24,10 @@ final case class PostingRow(
 
 /** Per-doc row: shard + token count (BM25 length norm; also the full-scan
   * stream for match-all / order-only queries — RUM's EVERYTHING mode,
-  * src/rumget.c:2024-2083).
+  * src/rumget.c:2024-2083). `addon` carries the attached column when the
+  * index was built with one (0 otherwise).
   */
-final case class DocRow(shard: Int, docId: Long, len: Int)
+final case class DocRow(shard: Int, docId: Long, len: Int, addon: Long)
 
 /** Global per-term stats — RUM's predictNumberResult analogue
   * (src/rumdatapage.c:450: per-key result-size estimates drive stream
@@ -61,9 +62,14 @@ object IndexBuilder {
       blockSize: Int = PostingBlock.DefaultSize,
       maxPostingsPerChunk: Int = 1 << 17,
       tokenizer: String = "simple",
-      numPartitions: Int = 0) {
+      numPartitions: Int = 0,
+      /** column stamped into every posting as addon payload — RUM's
+        * `WITH (attach='d', to='t')` (src/ruminsert.c:505-515); must be
+        * castable to long (timestamps: pass epoch micros)
+        */
+      attach: Option[String] = None) {
     def hash: String = {
-      val s = s"v1|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer"
+      val s = s"v2|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}"
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -107,8 +113,10 @@ object IndexBuilder {
     val committed: Set[Int] = prior.map(_.committedShards).getOrElse(Set.empty)
     val remaining = (0 until params.nShards).filterNot(committed)
 
+    val addonCol = params.attach
+      .map(a => col(a).cast("long")).getOrElse(lit(0L)).as("addon")
     val base = corpus
-      .select(col(docIdCol).cast("long").as("docId"), col(textCol).as("text"))
+      .select(col(docIdCol).cast("long").as("docId"), col(textCol).as("text"), addonCol)
       .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
 
     val todo =
@@ -147,8 +155,8 @@ object IndexBuilder {
       }
 
       val exploded = todo
-        .select(col("shard"), col("docId"), explode(tokUdf(col("text"))).as("e"))
-        .select(col("shard"), $"e.term", col("docId"), $"e.tf", $"e.len", $"e.pos")
+        .select(col("shard"), col("docId"), col("addon"), explode(tokUdf(col("text"))).as("e"))
+        .select(col("shard"), $"e.term", col("docId"), $"e.tf", $"e.len", $"e.pos", col("addon"))
 
       val p = if (params.numPartitions > 0) params.numPartitions
               else spark.sessionState.conf.numShufflePartitions
@@ -156,7 +164,7 @@ object IndexBuilder {
       val packed: Dataset[PostingRow] = exploded
         .repartitionByRange(p, col("shard"), col("term"), col("docId"))
         .sortWithinPartitions("shard", "term", "docId")
-        .as[(Int, String, Long, Int, Int, Array[Byte])]
+        .as[(Int, String, Long, Int, Int, Array[Byte], Long)]
         .mapPartitions { it =>
           new Iterator[PostingRow] {
             private var pending: List[PostingRow] = Nil
@@ -178,7 +186,7 @@ object IndexBuilder {
 
             private def fill(): Unit = {
               while (pending.isEmpty && it.hasNext) {
-                val (shard, term, docId, tf, len, pos) = it.next()
+                val (shard, term, docId, tf, len, pos, addon) = it.next()
                 if (cur == null || cur._1 != shard || cur._2 != term) {
                   finishChunk()
                   cur = (shard, term)
@@ -186,7 +194,7 @@ object IndexBuilder {
                   lastDoc = Long.MinValue
                 }
                 if (docId != lastDoc) { // dedup paranoia (RumMergeRumItems keeps first)
-                  builder.add(docId, tf, len, pos)
+                  builder.add(docId, tf, len, pos, addon)
                   lastDoc = docId
                   nInChunk += 1
                   if (nInChunk >= maxChunk) finishChunk()
@@ -208,7 +216,7 @@ object IndexBuilder {
       // no caching of the exploded stream; at petabyte scale this trades a
       // little CPU for zero extra I/O
       val cntUdf = udf(tokenCountFn(tokName))
-      todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"))
+      todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"), col("addon"))
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.docsDir(indexDir))
     }
@@ -240,7 +248,7 @@ object IndexBuilder {
       ShardMeta(s, t, r, pc, buildMs, now)
     }
     val meta = IndexMeta(
-      formatVersion = 1,
+      formatVersion = 2,
       numDocs = numDocs,
       totalTokens = totalTokens,
       avgLen = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,

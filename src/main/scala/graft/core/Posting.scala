@@ -24,6 +24,8 @@ import scala.collection.mutable.ArrayBuffer
   * @param docs      varbyte delta-encoded docIds
   * @param tfs       varbyte true term frequencies (may exceed stored #pos)
   * @param lens      varbyte doc token counts (BM25 length norm)
+  * @param addons    varbyte attached-column value per posting (RUM addon
+  *                  reloption `attach=..., to=...`; 0 when none configured)
   * @param poss      per-doc payload: varint byteLen + PositionCodec bytes
   */
 case class PostingBlock(
@@ -34,6 +36,7 @@ case class PostingBlock(
     docs: Array[Byte],
     tfs: Array[Byte],
     lens: Array[Byte],
+    addons: Array[Byte],
     poss: Array[Byte])
 
 object PostingBlock {
@@ -50,16 +53,18 @@ final class PostingListBuilder(blockSize: Int = PostingBlock.DefaultSize) {
   private var docIds = new ArrayBuffer[Long](blockSize)
   private var tfs = new ArrayBuffer[Int](blockSize)
   private var lens = new ArrayBuffer[Int](blockSize)
+  private var addons = new ArrayBuffer[Long](blockSize)
   private val posBuf = new java.io.ByteArrayOutputStream()
   private var maxTf = 0
   var totalDocs: Long = 0L
 
-  def add(docId: Long, tf: Int, docLen: Int, positions: Array[Byte]): Unit = {
+  def add(docId: Long, tf: Int, docLen: Int, positions: Array[Byte], addon: Long = 0L): Unit = {
     require(docIds.isEmpty || docId > docIds.last,
       s"docIds must be strictly increasing: $docId after ${docIds.last}")
     docIds += docId
     tfs += tf
     lens += docLen
+    addons += addon
     if (tf > maxTf) maxTf = tf
     VarByte.writeUInt(posBuf, positions.length.toLong)
     posBuf.write(positions, 0, positions.length)
@@ -77,10 +82,13 @@ final class PostingListBuilder(blockSize: Int = PostingBlock.DefaultSize) {
         docs = VarByte.encodeDeltas(docIds.toArray),
         tfs = VarByte.encodeUInts(tfs.toArray),
         lens = VarByte.encodeUInts(lens.toArray),
+        addons = { val o = new java.io.ByteArrayOutputStream()
+          addons.foreach(VarByte.writeUInt(o, _)); o.toByteArray },
         poss = posBuf.toByteArray)
       docIds = new ArrayBuffer[Long](blockSize)
       tfs = new ArrayBuffer[Int](blockSize)
       lens = new ArrayBuffer[Int](blockSize)
+      addons = new ArrayBuffer[Long](blockSize)
       posBuf.reset()
       maxTf = 0
     }
@@ -102,6 +110,7 @@ final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
   private var curDocs: Array[Long] = _
   private var curTfs: Array[Int] = _
   private var curLens: Array[Int] = _
+  private var curAddons: Array[Long] = _
   private var curPossOff: Array[Int] = _ // offset of each doc's payload
   private var curPossLen: Array[Int] = _
   private var curPoss: Array[Byte] = _
@@ -123,6 +132,9 @@ final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
     curDocs = VarByte.decodeDeltas(b.docs, b.n)
     curTfs = VarByte.decodeUInts(b.tfs, b.n)
     curLens = VarByte.decodeUInts(b.lens, b.n)
+    curAddons = { val a = new Array[Long](b.n); var p = 0; var j = 0
+      while (j < b.n) { val (v, np) = VarByte.readUInt(b.addons, p); a(j) = v; p = np; j += 1 }
+      a }
     curPoss = b.poss
     curPossOff = new Array[Int](b.n)
     curPossLen = new Array[Int](b.n)
@@ -141,6 +153,7 @@ final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
   def docId: Long = curDocs(i)
   def tf: Int = curTfs(i)
   def docLen: Int = curLens(i)
+  def addon: Long = curAddons(i)
   def maxTfCurBlock: Int = blocks(bi).maxTf
 
   /** Decode the current posting's (positions, wclasses) payload. */

@@ -13,9 +13,12 @@ import java.io.ByteArrayOutputStream
   */
 object VarByte {
 
-  /** Append one unsigned varint (7 bits per byte, high bit = continuation). */
+  /** Append one varint over the RAW 64-bit pattern (7 bits per byte, high
+    * bit = continuation). Negative longs encode as their two's-complement
+    * bits (≤10 bytes) — needed because docIds are xxhash64 values spanning
+    * the full signed range, and deltas may wrap.
+    */
   def writeUInt(out: ByteArrayOutputStream, value: Long): Unit = {
-    require(value >= 0, s"varint value must be non-negative: $value")
     var v = value
     while ((v & ~0x7fL) != 0L) {
       out.write(((v & 0x7f) | 0x80).toInt)
@@ -39,7 +42,10 @@ object VarByte {
     (v, p)
   }
 
-  /** Encode a strictly-increasing sequence as first value + gaps. */
+  /** Encode a strictly-increasing (signed order) sequence as first value +
+    * gaps. Gaps may wrap past Long.MaxValue (e.g. MinValue→MaxValue ids);
+    * two's-complement add on decode restores them exactly.
+    */
   def encodeDeltas(sorted: Array[Long]): Array[Byte] = {
     val out = new ByteArrayOutputStream(sorted.length * 2)
     var prev = 0L

@@ -57,6 +57,7 @@ object SearchKernel extends Serializable {
     def seek(target: Long): Unit
     def tf: Int
     def docLen: Int
+    def addonVal: Long
     def positions: (Array[Int], Array[Byte])
   }
 
@@ -67,6 +68,7 @@ object SearchKernel extends Serializable {
     def seek(target: Long): Unit = ()
     def tf = 0
     def docLen = 0
+    def addonVal = 0L
     def positions: (Array[Int], Array[Byte]) = (Array.emptyIntArray, Array.emptyByteArray)
   }
 
@@ -77,6 +79,7 @@ object SearchKernel extends Serializable {
     def seek(target: Long): Unit = cur.seek(target)
     def tf: Int = cur.tf
     def docLen: Int = cur.docLen
+    def addonVal: Long = cur.addon
     def positions: (Array[Int], Array[Byte]) = cur.positions
   }
 
@@ -137,6 +140,15 @@ object SearchKernel extends Serializable {
         i += 1
       }
       0
+    }
+
+    def addonVal: Long = {
+      var i = 0
+      while (i < members.length) {
+        if (!members(i).done && members(i).docId == minDoc) return members(i).addon
+        i += 1
+      }
+      0L
     }
 
     def positions: (Array[Int], Array[Byte]) = {
@@ -218,19 +230,19 @@ object SearchKernel extends Serializable {
   /** Bounded best-k collector: keeps k smallest (distance, docId). */
   private final class TopKHeap(k: Int) {
     // max-heap on (distance, docId): head = current worst
-    private val pq = mutable.PriorityQueue.empty[(Double, Long)](
-      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
-    def offer(dist: Double, docId: Long): Unit = {
-      if (pq.size < k) pq.enqueue((dist, docId))
+    private val pq = mutable.PriorityQueue.empty[(Double, Long, Long)](
+      Ordering.by { case (d, id, _) => (d, id) })
+    def offer(dist: Double, docId: Long, addon: Long): Unit = {
+      if (pq.size < k) pq.enqueue((dist, docId, addon))
       else {
-        val (wd, wid) = pq.head
+        val (wd, wid, _) = pq.head
         if (dist < wd || (dist == wd && docId < wid)) {
-          pq.dequeue(); pq.enqueue((dist, docId))
+          pq.dequeue(); pq.enqueue((dist, docId, addon))
         }
       }
     }
-    def worstOrInf: Double = if (pq.size < k) Double.PositiveInfinity else pq.head._1
-    def drain(): Iterator[(Long, Double)] = pq.iterator.map { case (d, id) => (id, d) }.toArray.iterator
+    def drain(): Iterator[(Long, Double, Long)] =
+      pq.iterator.map { case (d, id, a) => (id, d, a) }.toArray.iterator
   }
 
   /** Regular scan driver (scanGetItemRegular, src/rumget.c:1426-1568):
@@ -239,7 +251,7 @@ object SearchKernel extends Serializable {
     * Returns (docId, distance) — distance 0.0 when score=false.
     */
   def matchShard(cq: CompiledQuery, keys: Array[KeySpec], rows: Iterator[PostingRow],
-                 score: Boolean, k: Int): Iterator[(Long, Double)] = {
+                 score: Boolean, k: Int): Iterator[(Long, Double, Long)] = {
     val cursors = buildCursors(keys, rows)
     val candIdx = positiveKeys(cq)
     driver(cq, cursors, candidateStream(cursors, candIdx), score, matchOnly = true, k)
@@ -250,9 +262,11 @@ object SearchKernel extends Serializable {
     */
   def fullScanShard(cq: CompiledQuery, keys: Array[KeySpec], docIt: Iterator[DocRow],
                     rows: Iterator[PostingRow], score: Boolean, matchOnly: Boolean,
-                    k: Int): Iterator[(Long, Double)] = {
+                    k: Int): Iterator[(Long, Double, Long)] = {
     val cursors = buildCursors(keys, rows)
-    driver(cq, cursors, docIt.map(_.docId), score, matchOnly, k)
+    val addons = mutable.LongMap.empty[Long] // populated lazily per candidate
+    driver(cq, cursors, docIt.map { d => addons(d.docId) = d.addon; d.docId },
+      score, matchOnly, k, addonOf = id => addons.remove(id).getOrElse(0L))
   }
 
   /** Candidate docIds = ascending union of the given key streams.
@@ -279,9 +293,10 @@ object SearchKernel extends Serializable {
     }
 
   private def driver(cq: CompiledQuery, cursors: Array[KeyCursor], cands: Iterator[Long],
-                     score: Boolean, matchOnly: Boolean, k: Int): Iterator[(Long, Double)] = {
+                     score: Boolean, matchOnly: Boolean, k: Int,
+                     addonOf: Long => Long = null): Iterator[(Long, Double, Long)] = {
     val provider = new CursorProvider(cursors)
-    val out = mutable.ArrayBuffer.empty[(Long, Double)]
+    val out = mutable.ArrayBuffer.empty[(Long, Double, Long)]
     val heap = if (k > 0 && score) new TopKHeap(k) else null
     while (cands.hasNext) {
       val cand = cands.next()
@@ -293,6 +308,17 @@ object SearchKernel extends Serializable {
       }
       provider.reset(cand)
       val isMatch = TsEval.matches(cq, provider)
+      // addon: from the docs stream if present, else any cursor at cand
+      var addon = if (addonOf != null) addonOf(cand) else 0L
+      if (addonOf == null) {
+        var j = 0
+        var found = false
+        while (j < cursors.length && !found) {
+          val c = cursors(j)
+          if (!c.done && c.docId == cand) { addon = c.addonVal; found = true }
+          j += 1
+        }
+      }
       if (isMatch || !matchOnly) {
         val d =
           if (!score) 0.0
@@ -303,7 +329,7 @@ object SearchKernel extends Serializable {
             while (j < cq.numKeys) { kp(j) = provider.positions(j); kw(j) = provider.wclasses(j); j += 1 }
             CoverRank.distance(cq, kp, kw).toDouble
           }
-        if (heap != null) heap.offer(d, cand) else out += ((cand, d))
+        if (heap != null) heap.offer(d, cand, addon) else out += ((cand, d, addon))
       }
     }
     if (heap != null) heap.drain() else out.iterator

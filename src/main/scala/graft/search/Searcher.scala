@@ -34,7 +34,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
 
   private def docs: Dataset[DocRow] =
     spark.read.parquet(SegmentCatalog.docsDir(indexDir))
-      .select(col("shard"), col("docId"), col("len")).as[DocRow]
+      .select(col("shard"), col("docId"), col("len"), col("addon")).as[DocRow]
 
   /** term predicate for the parquet scan — exact terms via IN (dictionary/
     * stats pruning), prefixes via range [p, p+MAXCHAR).
@@ -72,6 +72,47 @@ final class Searcher(spark: SparkSession, indexDir: String) {
 
   def count(queryStr: String): Long = matchingDocs(queryStr).count()
 
+  /** Matching docs with their attached-column value (docId, addon) — the
+    * addon rides in the posting payload so no corpus join happens
+    * (RUM addon ops, README.md:158-196). Feed this to Column expressions
+    * for distance ordering / range predicates on the attached column.
+    */
+  def matchingWithAddon(queryStr: String): DataFrame = {
+    val cq = compile(queryStr)
+    if (SearchKernel.needsFullScan(cq))
+      fullScan(cq, score = false, matchOnly = true, k = 0)
+        .select(col("docId"), col("addon"))
+    else {
+      val keys = SearchKernel.keySpecs(cq)
+      postings.where(termPredicate(cq))
+        .groupByKey(_.shard)
+        .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
+          SearchKernel.matchShard(cq, keys, it, score = false, k = 0))
+        .toDF("docId", "distance", "addon").select("docId", "addon")
+    }
+  }
+
+  /** `WHERE t @@ q ORDER BY addon <op> c LIMIT k` — the reference's
+    * addon ordered scan (sql/orderby.sql): op "both" = `<=>` (|a-c|),
+    * "left" = `<=|` (only a<=c finite), "right" = `|=>` (only a>=c).
+    * Distance is in raw addon units; ties break on docId like RUM's TID
+    * tie-break. One-sided misses sort last with infinite distance.
+    */
+  def topKAddon(queryStr: String, c: Long, op: String, k: Int): DataFrame = {
+    val base = matchingWithAddon(queryStr)
+    val dist = op match {
+      case "both" => abs(col("addon") - lit(c)).cast("double")
+      case "left" => when(col("addon") <= c, (lit(c) - col("addon")).cast("double"))
+        .otherwise(lit(Double.PositiveInfinity))
+      case "right" => when(col("addon") >= c, (col("addon") - lit(c)).cast("double"))
+        .otherwise(lit(Double.PositiveInfinity))
+      case other => throw new IllegalArgumentException(s"op: $other")
+    }
+    base.withColumn("distance", dist)
+      .orderBy(col("distance").asc, col("docId").asc)
+      .limit(k)
+  }
+
   /** Ranked search: WHERE t @@ q ORDER BY t <=> q LIMIT k — the
     * rum.sql golden shape; distance = cover-density (CoverRank), ties by
     * docId ascending (reference tie-break on TID, src/rumsort.c:4003-4021).
@@ -89,9 +130,10 @@ final class Searcher(spark: SparkSession, indexDir: String) {
           .groupByKey(_.shard)
           .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
             SearchKernel.matchShard(cq, keys, it, score = true, k = k))
-          .toDF("docId", "distance")
+          .toDF("docId", "distance", "addon").select("docId", "distance")
       }
-    base.orderBy(col("distance").asc, col("docId").asc).limit(k)
+    base.select("docId", "distance")
+      .orderBy(col("distance").asc, col("docId").asc).limit(k)
   }
 
   /** Classic BM25 disjunctive top-k over bag-of-terms with WAND pruning
@@ -159,6 +201,6 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     docsG.cogroupSorted(postG)(col("docId").asc)(col("term").asc)(
       (shard: Int, docIt: Iterator[DocRow], postIt: Iterator[PostingRow]) =>
         SearchKernel.fullScanShard(cq, keys, docIt, postIt, score, matchOnly, k))
-      .toDF("docId", "distance")
+      .toDF("docId", "distance", "addon")
   }
 }

@@ -34,6 +34,19 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("delta round-trip on full signed-long ids (xxhash64 domain)") {
+    val rnd = new Random(21)
+    for (_ <- 1 to 200) {
+      val ids = Seq.fill(2 + rnd.nextInt(100))(rnd.nextLong())
+        .distinct.sorted.toArray
+      val enc = VarByte.encodeDeltas(ids)
+      assert(VarByte.decodeDeltas(enc, ids.length).sameElements(ids))
+    }
+    // extreme wrap: MinValue → MaxValue gap
+    val ext = Array(Long.MinValue, -1L, 0L, Long.MaxValue)
+    assert(VarByte.decodeDeltas(VarByte.encodeDeltas(ext), 4).sameElements(ext))
+  }
+
   test("position codec round-trip with weights (seeded property)") {
     val rnd = new Random(13)
     for (_ <- 1 to 200) {
