@@ -276,6 +276,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- array ops (RUM anyarray opclass semantics) ----
+    "arr_similarity" -> ((s, dir) => {
+      // per-doc distinct-term set vs a constant 3-term array: intersection
+      // count + set size (similarity/<=> derivable; ints keep the oracle
+      // float-exact), ranked by cosine similarity desc
+      val qArr = Seq("merge", "window", "vector")
+      val terms = tokens(s, dir).groupBy("doc_id")
+        .agg(collect_set("term").as("ts"))
+      val i = size(array_intersect(col("ts"), typedlit(qArr))).cast("long")
+      val nu = size(col("ts")).cast("long")
+      terms.select(col("doc_id"), i.as("i_cnt"), nu.as("n_uniq"))
+        .where(col("i_cnt") > 0)
+        .withColumn("rnk", row_number().over(Window.orderBy(
+          (col("i_cnt") * col("i_cnt") / col("n_uniq")).desc, col("doc_id"))))
+        .where(col("rnk") <= 20)
+        .orderBy("rnk")
+    }),
+    "inv_query_match" -> ((s, dir) => {
+      import graft.compat.QueryIndex
+      val qs = Seq(1L -> "merge & window", 2L -> "vector | stream",
+        3L -> "!merge & order", 4L -> "win:* & sort")
+      import s.implicits._
+      val built = QueryIndex.build(s, qs.toDF("id", "q"))
+      QueryIndex.probe(s, built, documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "query_id")
+    }),
+
     // ---- similarity search over embeddings ----
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -385,6 +412,29 @@ object SparkEntry {
       """SELECT d.doc_id, CAST(coalesce(t.len,0) AS INTEGER) AS len
         |FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1) t
         |ON d.doc_id=t.doc_id ORDER BY d.doc_id""".stripMargin),
+    "arr_similarity" -> (ToksCte +
+      """, ds AS (
+        |  SELECT doc_id, count(DISTINCT term) AS n_uniq,
+        |    count(DISTINCT CASE WHEN term IN ('merge','window','vector') THEN term END) AS i_cnt
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, CAST(i_cnt AS BIGINT) AS i_cnt, CAST(n_uniq AS BIGINT) AS n_uniq,
+        |  row_number() OVER (ORDER BY i_cnt*i_cnt*1.0/n_uniq DESC, doc_id) AS rnk
+        |FROM ds WHERE i_cnt > 0
+        |ORDER BY rnk LIMIT 20""".stripMargin),
+    "inv_query_match" -> (ToksCte +
+      """, m AS (
+        |  SELECT doc_id,
+        |    bool_or(term='merge') AS has_merge, bool_or(term='window') AS has_window,
+        |    bool_or(term='vector') AS has_vector, bool_or(term='stream') AS has_stream,
+        |    bool_or(term='order') AS has_order, bool_or(term='sort') AS has_sort,
+        |    bool_or(term LIKE 'win%') AS has_winp
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, query_id FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS query_id FROM m WHERE has_merge AND has_window
+        |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM m WHERE has_vector OR has_stream
+        |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT) FROM m WHERE NOT has_merge AND has_order
+        |  UNION ALL SELECT doc_id, CAST(4 AS BIGINT) FROM m WHERE has_winp AND has_sort) x
+        |ORDER BY doc_id, query_id""".stripMargin),
     "dedup_exact" ->
       """SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS grp_size,
         |min(doc_id) OVER (PARTITION BY md5(text)) AS keeper

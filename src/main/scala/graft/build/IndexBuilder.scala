@@ -90,8 +90,8 @@ object IndexBuilder {
   }
 
   private def tokenCountFn(name: String): String => Int = name match {
-    case "simple" => (t: String) => Tokenizer.simpleTokens(if (t == null) "" else t).length
-    case "code" => (t: String) => Tokenizer.codeTokens(if (t == null) "" else t).length
+    case "simple" => (t: String) => Tokenizer.simpleCount(if (t == null) "" else t)
+    case "code" => (t: String) => Tokenizer.codeCount(if (t == null) "" else t)
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
 
@@ -161,8 +161,15 @@ object IndexBuilder {
       val p = if (params.numPartitions > 0) params.numPartitions
               else spark.sessionState.conf.numShufflePartitions
 
+      // hash-partition on (shard, term): same grouping guarantee as a range
+      // partition (all rows of one (shard,term) in one task, sorted below)
+      // WITHOUT repartitionByRange's sampling pass, which would tokenize
+      // the whole corpus a second time just to pick boundaries. Head-term
+      // skew is already dissolved by the shard dimension (shard =
+      // hash(docId)): a hot term spreads over all nShards cells, and the
+      // per-chunk row cap bounds any remaining cell.
       val packed: Dataset[PostingRow] = exploded
-        .repartitionByRange(p, col("shard"), col("term"), col("docId"))
+        .repartition(p, col("shard"), col("term"))
         .sortWithinPartitions("shard", "term", "docId")
         .as[(Int, String, Long, Int, Int, Array[Byte], Long)]
         .mapPartitions { it =>
@@ -212,16 +219,16 @@ object IndexBuilder {
       packed.write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.postingsDir(indexDir))
 
-      // docs table: a second narrow pass (count-only tokenize) — no shuffle,
-      // no caching of the exploded stream; at petabyte scale this trades a
-      // little CPU for zero extra I/O
+      // docs table: a second narrow pass (count-only, allocation-free
+      // tokenize) — no shuffle; at petabyte scale this trades a little CPU
+      // for zero extra I/O
       val cntUdf = udf(tokenCountFn(tokName))
       todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"), col("addon"))
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.docsDir(indexDir))
     }
 
-    // --- global stats + manifest (recomputed over ALL shards) ---
+    // --- global stats + manifest (over ALL shards) ---
     val allPostings = spark.read.parquet(SegmentCatalog.postingsDir(indexDir))
     val stats = allPostings
       .groupBy("term")

@@ -29,12 +29,18 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   val meta: IndexMeta = SegmentCatalog.load(indexDir)
     .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
 
-  private def postings: Dataset[PostingRow] =
+  // lazy vals: file listing + schema inference happen once per Searcher,
+  // not once per query — repeated InMemoryFileIndex listings serialize
+  // concurrent queries on the driver
+  private lazy val postings: Dataset[PostingRow] =
     spark.read.parquet(SegmentCatalog.postingsDir(indexDir)).as[PostingRow]
 
-  private def docs: Dataset[DocRow] =
+  private lazy val docs: Dataset[DocRow] =
     spark.read.parquet(SegmentCatalog.docsDir(indexDir))
       .select(col("shard"), col("docId"), col("len"), col("addon")).as[DocRow]
+
+  private lazy val statsDF: DataFrame =
+    spark.read.parquet(SegmentCatalog.statsDir(indexDir))
 
   /** term predicate for the parquet scan — exact terms via IN (dictionary/
     * stats pruning), prefixes via range [p, p+MAXCHAR).
@@ -142,7 +148,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     */
   def topKBm25(terms: Seq[String], k: Int): DataFrame = {
     val distinct = terms.distinct
-    val statRows = spark.read.parquet(SegmentCatalog.statsDir(indexDir))
+    val statRows = statsDF
       .where(col("term").isin(distinct: _*))
       .select("term", "df", "maxTf").collect()
     val stats = statRows.map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
@@ -181,8 +187,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
 
   /** Global per-term document frequencies from the stats table. */
   def termStats(terms: Seq[String]): DataFrame =
-    spark.read.parquet(SegmentCatalog.statsDir(indexDir))
-      .where(col("term").isin(terms: _*))
+    statsDF.where(col("term").isin(terms: _*))
       .select(col("term"), col("df"))
 
   /** Doc length table (token counts). */

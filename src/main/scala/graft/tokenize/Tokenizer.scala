@@ -95,4 +95,51 @@ object Tokenizer {
 
   def simple(text: String): Array[TermOccs] = occurrences(simpleTokens(text))
   def code(text: String): Array[TermOccs] = occurrences(codeTokens(text))
+
+  /** Token count without allocating token strings — used by the doc-length
+    * pass of the index build (GC-friendly at scale).
+    */
+  def simpleCount(text: String): Int = {
+    var n = 0
+    var in = false
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      val c = Character.toLowerCase(text.charAt(i))
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (isTok && !in) n += 1
+      in = isTok
+      i += 1
+    }
+    n
+  }
+
+  /** Token count matching [[codeTokens]] boundaries, allocation-free. */
+  def codeCount(text: String): Int = {
+    var n = 0
+    var in = false
+    var prevLower = false
+    var prevUpper = false
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      val c = text.charAt(i)
+      val isLower = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      val isUpper = c >= 'A' && c <= 'Z'
+      if (isLower || isUpper) {
+        var boundary = !in
+        if (isUpper && prevLower) boundary = true
+        else if (isUpper && prevUpper && i + 1 < len) {
+          val next = text.charAt(i + 1)
+          if (next >= 'a' && next <= 'z') boundary = true
+        }
+        if (boundary) n += 1
+        in = true
+      } else in = false
+      prevLower = isLower
+      prevUpper = isUpper
+      i += 1
+    }
+    n
+  }
 }

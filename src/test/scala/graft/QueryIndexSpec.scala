@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.compat.QueryIndex
+
+/** Inverted query index truth table vs the reference
+  * (/root/reference/sql/ruminv.sql + expected/ruminv.out — 11 stored
+  * queries × 14 probe vectors).
+  */
+class QueryIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val queries = Seq(
+    1L -> "a|b", 2L -> "a&b", 3L -> "!(a|b)", 4L -> "!(a&b)",
+    5L -> "!a|b", 6L -> "a&!b", 7L -> "(a|b)&c", 8L -> "(!(a|b))&c",
+    9L -> "(a|b)&(c|d)", 10L -> "!a",
+    11L -> "(a|a1|a2|a3|a4|a5)&(b|b1|b2|b3|b4|b5|b6)&!(c|c1|c2|c3)")
+
+  // expected/ruminv.out truth table (query ids per probe)
+  private val golden: Seq[(String, Set[Long])] = Seq(
+    "" -> Set(3L, 4L, 5L, 10L),
+    "a" -> Set(1L, 4L, 6L),
+    "b" -> Set(1L, 4L, 5L, 10L),
+    "a b" -> Set(1L, 2L, 5L, 11L),
+    "c" -> Set(3L, 4L, 5L, 8L, 10L),
+    "a c" -> Set(1L, 4L, 6L, 7L, 9L),
+    "b c" -> Set(1L, 4L, 5L, 7L, 9L, 10L),
+    "a b c" -> Set(1L, 2L, 5L, 7L, 9L),
+    "d" -> Set(3L, 4L, 5L, 10L),
+    "a d" -> Set(1L, 4L, 6L, 9L),
+    "b d" -> Set(1L, 4L, 5L, 9L, 10L),
+    "a b d" -> Set(1L, 2L, 5L, 9L, 11L),
+    "c d" -> Set(3L, 4L, 5L, 8L, 10L),
+    "a c d" -> Set(1L, 4L, 6L, 7L, 9L))
+
+  test("ruminv truth table (expected/ruminv.out)") {
+    val built = QueryIndex.build(spark, queries.toDF("id", "q"))
+    assert(built.emptyMatchers.toSet == Set(3L, 4L, 5L, 10L))
+    val docs = golden.zipWithIndex.map { case ((probe, _), i) => (i.toLong, probe) }
+    val res = QueryIndex.probe(spark, built, docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    golden.zipWithIndex.foreach { case ((probe, want), i) =>
+      val got = res.getOrElse(i.toLong, Set.empty[Long])
+      assert(got == want, s"probe '$probe': got $got want $want")
+    }
+  }
+
+  test("prefix operands in stored queries") {
+    val built = QueryIndex.build(spark, Seq(1L -> "al:* & beta").toDF("id", "q"))
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "alto beta x")).toDF("doc_id", "text")
+    val got = QueryIndex.probe(spark, built, docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+}
