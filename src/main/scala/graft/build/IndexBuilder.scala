@@ -1,9 +1,9 @@
 package graft.build
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{PositionCodec, PostingBlock, PostingListBuilder}
+import graft.core.{PositionCodec, PostingBlock, PostingCursor, PostingListBuilder}
 import graft.tokenize.Tokenizer
 
 /** One (term, docId-range) chunk of a shard's posting list.
@@ -11,9 +11,8 @@ import graft.tokenize.Tokenizer
   * RUM equivalents: the entry-tree leaf + posting tree for one key
   * (reference: src/ruminsert.c:248-401 posting-tree promotion). A term's
   * postings may span several chunk rows with disjoint, ordered docId
-  * ranges — that is the skew/salting mechanism: huge (head) terms are
-  * split by docId range across build tasks and bounded per row, so no
-  * single task or row ever owns a whole head-term list.
+  * ranges — and, after incremental appends, overlapping ranges that the
+  * query kernel k-way merges (micro-segments).
   */
 final case class PostingRow(
     shard: Int,
@@ -30,8 +29,7 @@ final case class PostingRow(
 final case class DocRow(shard: Int, docId: Long, len: Int, addon: Long)
 
 /** Global per-term stats — RUM's predictNumberResult analogue
-  * (src/rumdatapage.c:450: per-key result-size estimates drive stream
-  * advancement order); df/maxTf also give WAND term upper bounds.
+  * (src/rumdatapage.c:450); df/maxTf give WAND term upper bounds.
   */
 final case class TermStat(term: String, df: Long, maxTf: Int)
 
@@ -39,17 +37,23 @@ final case class TermStat(term: String, df: Long, maxTf: Int)
 final case class TermEntry(term: String, tf: Int, len: Int, pos: Array[Byte])
 
 /** Distributed inverted-index build (the CREATE INDEX path,
-  * reference: src/ruminsert.c:594-708 rumbuild).
+  * reference: src/ruminsert.c:594-708 rumbuild) plus the maintenance
+  * surface: incremental append (ruminsert, src/ruminsert.c:799-837),
+  * delete (rumbulkdelete, src/rumvacuum.c:638-749) and compaction
+  * (posting merge, src/rumdatapage.c:367-408), all over immutable
+  * parquet segments with an atomic manifest.
   *
   * Spark-native dataflow:
   *   corpus → tokenize (narrow, codegen-friendly UDF) →
-  *   repartitionByRange(shard, term, docId) → sortWithinPartitions →
+  *   repartition(shard, term) → sortWithinPartitions(shard, term, docId) →
   *   mapPartitions pack posting blocks → parquet partitioned by shard.
   *
-  * The single range shuffle replaces RUM's red-black-tree accumulator +
+  * The single hash shuffle replaces RUM's red-black-tree accumulator +
   * page packing (src/rumbulk.c, src/rumdatapage.c): Spark's external sort
   * handles memory-bounded spill, the sorted run is packed full exactly like
   * RUM's build-mode split heuristic (src/rumdatapage.c:1253-1260).
+  * Head-term skew dissolves across the shard dimension (shard =
+  * hash(docId)); the per-chunk cap bounds any remaining cell.
   *
   * Resumability: shards are the checkpoint unit. Each committed shard is
   * recorded in the manifest with lineage + metrics; a re-run with `resume`
@@ -75,6 +79,12 @@ object IndexBuilder {
     }
   }
 
+  /** Reconstruct build params from a manifest (for append/compact). */
+  def paramsOf(meta: IndexMeta): Params = Params(
+    nShards = meta.nShards, blockSize = meta.blockSize,
+    maxPostingsPerChunk = meta.maxPostingsPerChunk, tokenizer = meta.tokenizer,
+    attach = if (meta.attachCol.isEmpty) None else Some(meta.attachCol))
+
   private def deleteRecursively(path: String): Unit = {
     val f = new java.io.File(path)
     if (f.exists()) {
@@ -95,15 +105,142 @@ object IndexBuilder {
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
 
-  /** Build (or resume) the index for `corpus` into `indexDir`.
-    *
-    * @param corpus   any DataFrame with a unique long id column + text column
-    */
+  /** corpus slice → normalized (docId, text, addon, shard) columns. */
+  private def normalize(corpus: DataFrame, docIdCol: String, textCol: String,
+                        params: Params): DataFrame = {
+    val addonCol = params.attach
+      .map(a => col(a).cast("long")).getOrElse(lit(0L)).as("addon")
+    corpus
+      .select(col(docIdCol).cast("long").as("docId"), col(textCol).as("text"), addonCol)
+      .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
+  }
+
+  /** tokenize+explode a normalized slice into posting tuples. */
+  private def explodedOf(todo: DataFrame, params: Params): DataFrame = {
+    val tokName = params.tokenizer
+    val tokUdf = udf { (text: String) =>
+      val occs = tokenizerFn(tokName)(text)
+      var len = 0
+      var i = 0
+      while (i < occs.length) { len += occs(i).tf; i += 1 }
+      occs.map { o =>
+        val (cp, cw) = PositionCodec.cap(o.positions, o.wclasses)
+        TermEntry(o.term, o.tf, len, PositionCodec.encode(cp, cw))
+      }
+    }
+    todo
+      .select(col("shard"), col("docId"), col("addon"), explode(tokUdf(col("text"))).as("e"))
+      .select(col("shard"), col("e.term").as("term"), col("docId"),
+        col("e.tf").as("tf"), col("e.len").as("len"), col("e.pos").as("pos"), col("addon"))
+  }
+
+  /** shuffle + sort + pack posting tuples into chunk rows. */
+  private def packDataset(spark: SparkSession, exploded: DataFrame,
+                          params: Params): Dataset[PostingRow] = {
+    import spark.implicits._
+    val blockSize = params.blockSize
+    val maxChunk = params.maxPostingsPerChunk
+    val p = if (params.numPartitions > 0) params.numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    exploded
+      .select("shard", "term", "docId", "tf", "len", "pos", "addon") // fixed order for the tuple encoder
+      .repartition(p, col("shard"), col("term"))
+      .sortWithinPartitions("shard", "term", "docId")
+      .as[(Int, String, Long, Int, Int, Array[Byte], Long)]
+      .mapPartitions { it =>
+        new Iterator[PostingRow] {
+          private var pending: List[PostingRow] = Nil
+          private var cur: (Int, String) = null
+          private var builder: PostingListBuilder = null
+          private var chunkIdx = 0
+          private var nInChunk = 0
+          private var lastDoc = Long.MinValue
+
+          private def finishChunk(): Unit = {
+            if (builder != null && builder.totalDocs > 0) {
+              val blocks = builder.result()
+              pending ::= PostingRow(cur._1, cur._2, chunkIdx, blocks.map(_.n.toLong).sum, blocks)
+              chunkIdx += 1
+            }
+            builder = new PostingListBuilder(blockSize)
+            nInChunk = 0
+          }
+
+          private def fill(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (shard, term, docId, tf, len, pos, addon) = it.next()
+              if (cur == null || cur._1 != shard || cur._2 != term) {
+                finishChunk()
+                cur = (shard, term)
+                chunkIdx = 0
+                lastDoc = Long.MinValue
+              }
+              if (docId != lastDoc) { // dedup (rumMergeRumItems keeps first)
+                builder.add(docId, tf, len, pos, addon)
+                lastDoc = docId
+                nInChunk += 1
+                if (nInChunk >= maxChunk) finishChunk()
+              }
+            }
+            if (pending.isEmpty && !it.hasNext && builder != null && builder.totalDocs > 0)
+              finishChunk()
+          }
+
+          def hasNext: Boolean = { fill(); pending.nonEmpty }
+          def next(): PostingRow = { fill(); val h = pending.head; pending = pending.tail; h }
+        }
+      }
+  }
+
+  /** Recompute global stats + manifest over all shards on disk. */
+  private def refresh(spark: SparkSession, indexDir: String, params: Params,
+                      shardsMeta: List[ShardMeta], lineage: String): IndexMeta = {
+    val allPostings = spark.read.parquet(SegmentCatalog.postingsDir(indexDir))
+    allPostings
+      .groupBy("term")
+      .agg(sum("ndocs").as("df"),
+        max(expr("aggregate(blocks, 0, (acc, b) -> greatest(acc, b.maxTf))")).as("maxTf"))
+      .write.mode("overwrite").parquet(SegmentCatalog.statsDir(indexDir))
+
+    val allDocs = spark.read.parquet(SegmentCatalog.docsDir(indexDir))
+    val r = allDocs.agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
+    val (numDocs, totalTokens) = (r.getLong(0), r.getLong(1))
+
+    val meta = IndexMeta(
+      formatVersion = 2,
+      numDocs = numDocs,
+      totalTokens = totalTokens,
+      avgLen = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
+      nShards = params.nShards,
+      blockSize = params.blockSize,
+      maxPostingsPerChunk = params.maxPostingsPerChunk,
+      tokenizer = params.tokenizer,
+      attachCol = params.attach.getOrElse(""),
+      inputLineage = lineage,
+      paramsHash = params.hash,
+      shards = shardsMeta.sortBy(_.shard))
+    SegmentCatalog.save(indexDir, meta)
+    meta
+  }
+
+  private def shardMetas(spark: SparkSession, indexDir: String, shards: Seq[Int],
+                         buildMs: Long): List[ShardMeta] = {
+    val now = System.currentTimeMillis()
+    val agg = spark.read.parquet(SegmentCatalog.postingsDir(indexDir))
+      .groupBy("shard")
+      .agg(countDistinct("term").as("terms"), count(lit(1)).as("rows"), sum("ndocs").as("postings"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    shards.map { s =>
+      val (t, rw, pc) = agg.getOrElse(s, (0L, 0L, 0L))
+      ShardMeta(s, t, rw, pc, buildMs, now)
+    }.toList
+  }
+
+  /** Build (or resume) the index for `corpus` into `indexDir`. */
   def build(spark: SparkSession, corpus: DataFrame, docIdCol: String, textCol: String,
             indexDir: String, params: Params = Params(), resume: Boolean = false): IndexMeta = {
-    import spark.implicits._
     val t0 = System.currentTimeMillis()
-
     val prior: Option[IndexMeta] =
       if (resume) SegmentCatalog.load(indexDir).map { m =>
         require(m.paramsHash == params.hash,
@@ -113,12 +250,7 @@ object IndexBuilder {
     val committed: Set[Int] = prior.map(_.committedShards).getOrElse(Set.empty)
     val remaining = (0 until params.nShards).filterNot(committed)
 
-    val addonCol = params.attach
-      .map(a => col(a).cast("long")).getOrElse(lit(0L)).as("addon")
-    val base = corpus
-      .select(col(docIdCol).cast("long").as("docId"), col(textCol).as("text"), addonCol)
-      .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
-
+    val base = normalize(corpus, docIdCol, textCol, params)
     val todo =
       if (committed.isEmpty) base
       else base.where(col("shard").isin(remaining: _*))
@@ -139,134 +271,116 @@ object IndexBuilder {
     }
 
     if (remaining.nonEmpty) {
-      val tokName = params.tokenizer
-      val blockSize = params.blockSize
-      val maxChunk = params.maxPostingsPerChunk
-
-      val tokUdf = udf { (text: String) =>
-        val occs = tokenizerFn(tokName)(text)
-        var len = 0
-        var i = 0
-        while (i < occs.length) { len += occs(i).tf; i += 1 }
-        occs.map { o =>
-          val (cp, cw) = PositionCodec.cap(o.positions, o.wclasses)
-          TermEntry(o.term, o.tf, len, PositionCodec.encode(cp, cw))
-        }
-      }
-
-      val exploded = todo
-        .select(col("shard"), col("docId"), col("addon"), explode(tokUdf(col("text"))).as("e"))
-        .select(col("shard"), $"e.term", col("docId"), $"e.tf", $"e.len", $"e.pos", col("addon"))
-
-      val p = if (params.numPartitions > 0) params.numPartitions
-              else spark.sessionState.conf.numShufflePartitions
-
-      // hash-partition on (shard, term): same grouping guarantee as a range
-      // partition (all rows of one (shard,term) in one task, sorted below)
-      // WITHOUT repartitionByRange's sampling pass, which would tokenize
-      // the whole corpus a second time just to pick boundaries. Head-term
-      // skew is already dissolved by the shard dimension (shard =
-      // hash(docId)): a hot term spreads over all nShards cells, and the
-      // per-chunk row cap bounds any remaining cell.
-      val packed: Dataset[PostingRow] = exploded
-        .repartition(p, col("shard"), col("term"))
-        .sortWithinPartitions("shard", "term", "docId")
-        .as[(Int, String, Long, Int, Int, Array[Byte], Long)]
-        .mapPartitions { it =>
-          new Iterator[PostingRow] {
-            private var pending: List[PostingRow] = Nil
-            private var cur: (Int, String) = null
-            private var builder: PostingListBuilder = null
-            private var chunkIdx = 0
-            private var nInChunk = 0
-            private var lastDoc = Long.MinValue
-
-            private def finishChunk(): Unit = {
-              if (builder != null && builder.totalDocs > 0) {
-                val blocks = builder.result()
-                pending ::= PostingRow(cur._1, cur._2, chunkIdx, blocks.map(_.n.toLong).sum, blocks)
-                chunkIdx += 1
-              }
-              builder = new PostingListBuilder(blockSize)
-              nInChunk = 0
-            }
-
-            private def fill(): Unit = {
-              while (pending.isEmpty && it.hasNext) {
-                val (shard, term, docId, tf, len, pos, addon) = it.next()
-                if (cur == null || cur._1 != shard || cur._2 != term) {
-                  finishChunk()
-                  cur = (shard, term)
-                  chunkIdx = 0
-                  lastDoc = Long.MinValue
-                }
-                if (docId != lastDoc) { // dedup paranoia (RumMergeRumItems keeps first)
-                  builder.add(docId, tf, len, pos, addon)
-                  lastDoc = docId
-                  nInChunk += 1
-                  if (nInChunk >= maxChunk) finishChunk()
-                }
-              }
-              if (pending.isEmpty && !it.hasNext && builder != null && builder.totalDocs > 0)
-                finishChunk()
-            }
-
-            def hasNext: Boolean = { fill(); pending.nonEmpty }
-            def next(): PostingRow = { fill(); val h = pending.head; pending = pending.tail; h }
-          }
-        }
-
-      packed.write.mode("append").partitionBy("shard")
+      packDataset(spark, explodedOf(todo, params), params)
+        .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.postingsDir(indexDir))
 
       // docs table: a second narrow pass (count-only, allocation-free
-      // tokenize) — no shuffle; at petabyte scale this trades a little CPU
-      // for zero extra I/O
-      val cntUdf = udf(tokenCountFn(tokName))
+      // tokenize) — no shuffle; trades a little CPU for zero extra I/O
+      val cntUdf = udf(tokenCountFn(params.tokenizer))
       todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"), col("addon"))
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.docsDir(indexDir))
     }
 
-    // --- global stats + manifest (over ALL shards) ---
-    val allPostings = spark.read.parquet(SegmentCatalog.postingsDir(indexDir))
-    val stats = allPostings
-      .groupBy("term")
-      .agg(sum("ndocs").as("df"),
-        max(expr("aggregate(blocks, 0, (acc, b) -> greatest(acc, b.maxTf))")).as("maxTf"))
-    stats.write.mode("overwrite").parquet(SegmentCatalog.statsDir(indexDir))
-
-    val allDocs = spark.read.parquet(SegmentCatalog.docsDir(indexDir))
-    val (numDocs, totalTokens) = {
-      val r = allDocs.agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-
-    val shardAgg = allPostings.groupBy("shard")
-      .agg(countDistinct("term").as("terms"), count(lit(1)).as("rows"), sum("ndocs").as("postings"))
-      .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-
-    val now = System.currentTimeMillis()
-    val buildMs = now - t0
+    val buildMs = System.currentTimeMillis() - t0
     val lineage = corpus.queryExecution.logical.toString.linesIterator.take(1).mkString
-    val newShards = remaining.map { s =>
-      val (t, r, pc) = shardAgg.getOrElse(s, (0L, 0L, 0L))
-      ShardMeta(s, t, r, pc, buildMs, now)
+    val newShards = shardMetas(spark, indexDir, remaining, buildMs)
+    refresh(spark, indexDir, params,
+      prior.map(_.shards).getOrElse(Nil) ++ newShards, lineage)
+  }
+
+  /** Incremental insert: append a micro-segment per shard for new docs
+    * (ruminsert path). New docIds must not already exist in the index
+    * (replacements: delete first). Query-side merges overlapping chunk
+    * ranges; run [[compact]] periodically to restore single-run layout.
+    */
+  def append(spark: SparkSession, newCorpus: DataFrame, docIdCol: String,
+             textCol: String, indexDir: String): IndexMeta = {
+    val t0 = System.currentTimeMillis()
+    val meta = SegmentCatalog.load(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
+    val params = paramsOf(meta)
+    val todo = normalize(newCorpus, docIdCol, textCol, params)
+
+    packDataset(spark, explodedOf(todo, params), params)
+      .write.mode("append").partitionBy("shard")
+      .parquet(SegmentCatalog.postingsDir(indexDir))
+    val cntUdf = udf(tokenCountFn(params.tokenizer))
+    todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"), col("addon"))
+      .write.mode("append").partitionBy("shard")
+      .parquet(SegmentCatalog.docsDir(indexDir))
+
+    val buildMs = System.currentTimeMillis() - t0
+    val lineage = s"append(${newCorpus.queryExecution.logical.toString.linesIterator.take(1).mkString})"
+    refresh(spark, indexDir, params,
+      shardMetas(spark, indexDir, 0 until params.nShards, buildMs), lineage)
+  }
+
+  /** Delete docs by id — the vacuum/bulkdelete path (src/rumvacuum.c):
+    * postings are decoded, anti-joined against the delete set and
+    * repacked. Implemented as [[compact]] with an exclusion set.
+    */
+  def delete(spark: SparkSession, indexDir: String, deleteIds: DataFrame): IndexMeta =
+    compact(spark, indexDir, Some(deleteIds))
+
+  /** Rewrite all segments into single-run layout (merging micro-segments),
+    * optionally excluding docIds. No re-tokenization: stored payloads are
+    * carried through (the posting merge of src/rumdatapage.c:367-408 at
+    * segment scale).
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              exclude: Option[DataFrame] = None): IndexMeta = {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val meta = SegmentCatalog.load(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
+    val params = paramsOf(meta)
+
+    val decoded: DataFrame = spark.read.parquet(SegmentCatalog.postingsDir(indexDir))
+      .as[PostingRow]
+      .flatMap { row =>
+        val cur = new PostingCursor(Iterator(row.blocks))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, Long, Int, Int, Array[Byte], Long)]
+        while (!cur.done) {
+          out += ((row.shard, row.term, cur.docId, cur.tf, cur.docLen, cur.rawPositions, cur.addon))
+          cur.next()
+        }
+        out.iterator
+      }.toDF("shard", "term", "docId", "tf", "len", "pos", "addon")
+
+    val excludeIds = exclude.map(df => df.select(col(df.columns.head).cast("long").as("docId")))
+    val kept = excludeIds match {
+      case Some(ids) => decoded.join(ids, Seq("docId"), "left_anti")
+      case None => decoded
     }
-    val meta = IndexMeta(
-      formatVersion = 2,
-      numDocs = numDocs,
-      totalTokens = totalTokens,
-      avgLen = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
-      nShards = params.nShards,
-      blockSize = params.blockSize,
-      maxPostingsPerChunk = params.maxPostingsPerChunk,
-      tokenizer = params.tokenizer,
-      inputLineage = lineage,
-      paramsHash = params.hash,
-      shards = (prior.map(_.shards).getOrElse(Nil) ++ newShards).sortBy(_.shard))
-    SegmentCatalog.save(indexDir, meta)
-    meta
+
+    val tmpPost = SegmentCatalog.postingsDir(indexDir) + ".tmp"
+    deleteRecursively(tmpPost)
+    packDataset(spark, kept, params)
+      .write.mode("overwrite").partitionBy("shard").parquet(tmpPost)
+
+    val tmpDocs = SegmentCatalog.docsDir(indexDir) + ".tmp"
+    deleteRecursively(tmpDocs)
+    val docs = spark.read.parquet(SegmentCatalog.docsDir(indexDir))
+    val keptDocs = excludeIds match {
+      case Some(ids) => docs.join(ids, Seq("docId"), "left_anti")
+      case None => docs
+    }
+    keptDocs.select("docId", "len", "addon", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(tmpDocs)
+
+    // swap (single-FS rename; an object-store deployment would commit a
+    // new manifest pointing at the new location instead)
+    deleteRecursively(SegmentCatalog.postingsDir(indexDir))
+    deleteRecursively(SegmentCatalog.docsDir(indexDir))
+    new java.io.File(tmpPost).renameTo(new java.io.File(SegmentCatalog.postingsDir(indexDir)))
+    new java.io.File(tmpDocs).renameTo(new java.io.File(SegmentCatalog.docsDir(indexDir)))
+
+    val buildMs = System.currentTimeMillis() - t0
+    refresh(spark, indexDir, params,
+      shardMetas(spark, indexDir, 0 until params.nShards, buildMs),
+      s"compact(exclude=${exclude.isDefined})")
   }
 }

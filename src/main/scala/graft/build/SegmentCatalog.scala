@@ -28,6 +28,7 @@ final case class IndexMeta(
     blockSize: Int,
     maxPostingsPerChunk: Int,
     tokenizer: String,
+    attachCol: String,
     inputLineage: String,
     paramsHash: String,
     shards: List[ShardMeta]) {
@@ -61,6 +62,7 @@ object SegmentCatalog {
     sb.append(s"blockSize=${meta.blockSize}\n")
     sb.append(s"maxPostingsPerChunk=${meta.maxPostingsPerChunk}\n")
     sb.append(s"tokenizer=${meta.tokenizer}\n")
+    sb.append(s"attachCol=${meta.attachCol}\n")
     sb.append(s"inputLineage=${meta.inputLineage.replace("\n", " ")}\n")
     sb.append(s"paramsHash=${meta.paramsHash}\n")
     meta.shards.sortBy(_.shard).foreach { s =>
@@ -102,7 +104,8 @@ object SegmentCatalog {
       blockSize = kv("blockSize").toInt,
       maxPostingsPerChunk = kv("maxPostingsPerChunk").toInt,
       tokenizer = kv("tokenizer"),
-      inputLineage = kv("inputLineage"),
+      attachCol = kv.getOrElse("attachCol", ""),
+      inputLineage = kv.getOrElse("inputLineage", ""),
       paramsHash = kv("paramsHash"),
       shards = shards.toList))
   }

@@ -156,6 +156,15 @@ final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
   def addon: Long = curAddons(i)
   def maxTfCurBlock: Int = blocks(bi).maxTf
 
+  /** The current posting's encoded position payload, as stored (for
+    * repacking during compaction without a decode/encode round-trip).
+    */
+  def rawPositions: Array[Byte] = {
+    val len = curPossLen(i)
+    if (len == 0) Array.emptyByteArray
+    else java.util.Arrays.copyOfRange(curPoss, curPossOff(i), curPossOff(i) + len)
+  }
+
   /** Decode the current posting's (positions, wclasses) payload. */
   def positions: (Array[Int], Array[Byte]) = {
     val len = curPossLen(i)

@@ -176,17 +176,32 @@ object SearchKernel extends Serializable {
     rows.foreach { r =>
       byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r
     }
-    def termCursor(t: String): PostingCursor = {
-      val chunks = byTerm(t).sortBy(_.blocks.head.firstDoc).map(_.blocks).iterator
-      new PostingCursor(chunks)
+    // One term's chunk rows normally have disjoint ascending docId ranges
+    // (single-build layout) → one streaming cursor. After incremental
+    // appends (micro-segments, the ruminsert path: src/ruminsert.c:799-837)
+    // ranges overlap → k-way merge of the non-ascending runs
+    // (rumMergeRumItems semantics, src/rumdatapage.c:367-408).
+    def termCursors(t: String): Array[PostingCursor] = {
+      val sorted = byTerm(t).sortBy(_.blocks.head.firstDoc)
+      val runs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[PostingRow]]
+      sorted.foreach { r =>
+        if (runs.nonEmpty && r.blocks.head.firstDoc > runs.last.last.blocks.last.lastDoc)
+          runs.last += r // extends the run: still strictly ascending
+        else runs += mutable.ArrayBuffer(r) // overlap → separate run to merge
+      }
+      runs.map(run => new PostingCursor(run.map(_.blocks).iterator)).toArray
+    }
+    def termCursor(t: String): KeyCursor = {
+      val cs = termCursors(t)
+      if (cs.length == 1) new SingleCursor(cs(0)) else new UnionCursor(cs)
     }
     keys.map { k =>
       if (!k.prefix) {
-        if (byTerm.contains(k.term)) new SingleCursor(termCursor(k.term)) else EmptyCursor
+        if (byTerm.contains(k.term)) termCursor(k.term) else EmptyCursor
       } else {
         val terms = byTerm.keysIterator.filter(_.startsWith(k.term)).toArray
         if (terms.isEmpty) EmptyCursor
-        else new UnionCursor(terms.map(termCursor))
+        else new UnionCursor(terms.flatMap(termCursors))
       }
     }
   }
