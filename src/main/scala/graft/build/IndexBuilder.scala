@@ -192,15 +192,29 @@ object IndexBuilder {
       }
   }
 
-  /** Recompute global stats + manifest over all shards on disk. */
+  /** Recompute global stats + per-shard metrics + manifest over all shards
+    * on disk — ONE heavy pass over the postings (grouped to (shard, term)
+    * cells, then two micro re-aggregations), not one per output.
+    */
   private def refresh(spark: SparkSession, indexDir: String, params: Params,
-                      shardsMeta: List[ShardMeta], lineage: String): IndexMeta = {
+                      buildMs: Long, lineage: String): IndexMeta = {
     val allPostings = spark.read.parquet(SegmentCatalog.postingsDir(indexDir))
-    allPostings
-      .groupBy("term")
+    val cells = allPostings
+      .groupBy("shard", "term")
       .agg(sum("ndocs").as("df"),
-        max(expr("aggregate(blocks, 0, (acc, b) -> greatest(acc, b.maxTf))")).as("maxTf"))
+        max(expr("aggregate(blocks, 0, (acc, b) -> greatest(acc, b.maxTf))")).as("maxTf"),
+        count(lit(1)).as("rows"))
+      .persist()
+    cells.groupBy("term")
+      .agg(sum("df").as("df"), max("maxTf").as("maxTf"))
       .write.mode("overwrite").parquet(SegmentCatalog.statsDir(indexDir))
+    val now = System.currentTimeMillis()
+    val shardsMeta = cells.groupBy("shard")
+      .agg(count(lit(1)).as("terms"), sum("rows").as("rows"), sum("df").as("postings"))
+      .collect()
+      .map(r => ShardMeta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), buildMs, now))
+      .toList
+    cells.unpersist()
 
     val allDocs = spark.read.parquet(SegmentCatalog.docsDir(indexDir))
     val r = allDocs.agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
@@ -221,20 +235,6 @@ object IndexBuilder {
       shards = shardsMeta.sortBy(_.shard))
     SegmentCatalog.save(indexDir, meta)
     meta
-  }
-
-  private def shardMetas(spark: SparkSession, indexDir: String, shards: Seq[Int],
-                         buildMs: Long): List[ShardMeta] = {
-    val now = System.currentTimeMillis()
-    val agg = spark.read.parquet(SegmentCatalog.postingsDir(indexDir))
-      .groupBy("shard")
-      .agg(countDistinct("term").as("terms"), count(lit(1)).as("rows"), sum("ndocs").as("postings"))
-      .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    shards.map { s =>
-      val (t, rw, pc) = agg.getOrElse(s, (0L, 0L, 0L))
-      ShardMeta(s, t, rw, pc, buildMs, now)
-    }.toList
   }
 
   /** Build (or resume) the index for `corpus` into `indexDir`. */
@@ -285,9 +285,7 @@ object IndexBuilder {
 
     val buildMs = System.currentTimeMillis() - t0
     val lineage = corpus.queryExecution.logical.toString.linesIterator.take(1).mkString
-    val newShards = shardMetas(spark, indexDir, remaining, buildMs)
-    refresh(spark, indexDir, params,
-      prior.map(_.shards).getOrElse(Nil) ++ newShards, lineage)
+    refresh(spark, indexDir, params, buildMs, lineage)
   }
 
   /** Incremental insert: append a micro-segment per shard for new docs
@@ -313,8 +311,7 @@ object IndexBuilder {
 
     val buildMs = System.currentTimeMillis() - t0
     val lineage = s"append(${newCorpus.queryExecution.logical.toString.linesIterator.take(1).mkString})"
-    refresh(spark, indexDir, params,
-      shardMetas(spark, indexDir, 0 until params.nShards, buildMs), lineage)
+    refresh(spark, indexDir, params, buildMs, lineage)
   }
 
   /** Delete docs by id — the vacuum/bulkdelete path (src/rumvacuum.c):
@@ -379,8 +376,6 @@ object IndexBuilder {
     new java.io.File(tmpDocs).renameTo(new java.io.File(SegmentCatalog.docsDir(indexDir)))
 
     val buildMs = System.currentTimeMillis() - t0
-    refresh(spark, indexDir, params,
-      shardMetas(spark, indexDir, 0 until params.nShards, buildMs),
-      s"compact(exclude=${exclude.isDefined})")
+    refresh(spark, indexDir, params, buildMs, s"compact(exclude=${exclude.isDefined})")
   }
 }
