@@ -67,6 +67,23 @@ object SparkEntry {
 
   private def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
 
+  // DuckDB embedding CTE: elements + deterministic LSH planes/signatures
+  // (twin of graft.search.AnnLsh — md5-parity ±1 planes, 4 planes, dims 1-64)
+  private val EmbCte =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |elems AS (SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS x
+      |  FROM e, LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS i) g),
+      |planes AS (SELECT b, i,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || CAST(i AS VARCHAR)),1,15) AS BIGINT) % 2 = 1
+      |         THEN 1.0 ELSE -1.0 END AS w
+      |  FROM (SELECT CAST(unnest(range(0,4)) AS INTEGER) AS b),
+      |       (SELECT CAST(unnest(range(1,65)) AS INTEGER) AS i)),
+      |proj AS (SELECT vec_id, b, sum(x*w) AS s FROM elems JOIN planes USING(i) GROUP BY 1,2),
+      |sig AS (SELECT vec_id,
+      |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY 1),
+      |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1)""".stripMargin
+
   // DuckDB token CTE (kept in one place; concatenated into oracle strings)
   private val ToksCte =
     """WITH toks AS (
@@ -303,6 +320,29 @@ object SparkEntry {
         .orderBy("doc_id", "query_id")
     }),
 
+    "text_langid" -> ((s, dir) => {
+      // marker-profile language ID (n-gram heuristic; graft.text.TextAnalysis)
+      import graft.text.TextAnalysis
+      val scores = TextAnalysis.langScores(col("text"))
+      val scored = scores.foldLeft(documents(s, dir)) {
+        case (df, (lang, c)) => df.withColumn(s"s_$lang", c)
+      }
+      scored.select(col("doc_id") +: scores.map { case (l, _) => col(s"s_$l") } :+
+          TextAnalysis.langId(scores.map { case (l, _) => l -> col(s"s_$l") })
+            .as("pred_lang"): _*)
+        .orderBy("doc_id")
+    }),
+    "fingerprint_winnow" -> ((s, dir) => {
+      // winnowing (Schleimer et al.): min shingle-hash per sliding window
+      // of 5, distinct per doc — the rolling-hash document fingerprint
+      val w5 = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+      shingles(s, dir).withColumn("h", hash60(col("sh")))
+        .withColumn("minh", min("h").over(w5))
+        .where(col("pos") >= 5)
+        .select(col("doc_id"), col("minh").as("h")).distinct()
+        .orderBy("doc_id", "h")
+    }),
+
     // ---- similarity search over embeddings ----
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -319,6 +359,52 @@ object SparkEntry {
       emb.select(col("vec_id"), round(dot / (norm * lit(qNorm)), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
         .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      // LSH-bucketed ANN (the scale path): 4 deterministic sign-projection
+      // planes → 16 buckets; candidates = query's bucket only; exact cosine
+      // re-rank inside the bucket. At 100 TB `bucket` is the partition key.
+      import graft.search.AnnLsh
+      val pl = AnnLsh.planes(4, 64)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("bucket", AnnLsh.bucket(col("embedding"), pl))
+      val qRow = emb.where(col("vec_id") === 0).select("embedding", "bucket").head()
+      val q = qRow.getSeq[Float](0).toArray
+      val qb = qRow.getLong(1)
+      emb.where(col("bucket") === qb)
+        .select(col("vec_id"), round(AnnLsh.cosineTo(col("embedding"), q), 4).as("sim"),
+          col("bucket"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+    }),
+    "dedup_embed_lsh" -> ((s, dir) => {
+      // embedding-cosine near-dup with LSH blocking: candidate pairs share
+      // an LSH bucket (co-partitioned equi-join, no O(n²) shuffle), exact
+      // cosine >= 0.40 confirms
+      import graft.search.AnnLsh
+      val pl = AnnLsh.planes(4, 64)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("bucket", AnnLsh.bucket(col("embedding"), pl))
+      val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+        .withColumn("sim", AnnLsh.cosine(col("ea"), col("eb")))
+        .where(col("sim") >= 0.40)
+        .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // ---- multimodal binary pipeline ----
+    "mm_features" -> ((s, dir) => {
+      // opaque binary payload + typed metadata → per-batch feature extract
+      // (decode stubbed deterministically; Spark plumbing real — see
+      // graft.multimodal.BinaryPipeline)
+      import graft.multimodal.BinaryPipeline
+      val media = BinaryPipeline.synthesize(documents(s, dir), "doc_id", "text")
+      BinaryPipeline.extractFeatures(s, media)
+        .select(col("media_id").as("doc_id"), col("n_bytes"), col("width"),
+          col("sum_bytes"), col("histo_0"), col("distinct_bytes"))
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -490,6 +576,71 @@ object SparkEntry {
       """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS ws_tokens,
         |len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST((length(t)-length(replace(t,' the ','')))/5 AS BIGINT)
+        |    + CAST((length(t)-length(replace(t,' a ','')))/3 AS BIGINT)
+        |    + CAST((length(t)-length(replace(t,' of ','')))/4 AS BIGINT) AS s_en,
+        |  CAST((length(t)-length(replace(t,' der ','')))/5 AS BIGINT)
+        |    + CAST((length(t)-length(replace(t,' die ','')))/5 AS BIGINT)
+        |    + CAST((length(t)-length(replace(t,' und ','')))/5 AS BIGINT) AS s_de,
+        |  CAST((length(t)-length(replace(t,' el ','')))/4 AS BIGINT)
+        |    + CAST((length(t)-length(replace(t,' los ','')))/5 AS BIGINT)
+        |    + CAST((length(t)-length(replace(t,' una ','')))/5 AS BIGINT) AS s_es,
+        |  CAST((length(t)-length(replace(t,' le ','')))/4 AS BIGINT)
+        |    + CAST((length(t)-length(replace(t,' les ','')))/5 AS BIGINT)
+        |    + CAST((length(t)-length(replace(t,' et ','')))/4 AS BIGINT) AS s_fr
+        |FROM p)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "fingerprint_winnow" -> (ShingCte +
+      """,
+        |hs AS (SELECT doc_id, pos, CAST('0x' || substr(md5(sh),1,15) AS BIGINT) AS h FROM shing),
+        |mins AS (SELECT doc_id, pos,
+        |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS minh
+        |  FROM hs)
+        |SELECT DISTINCT doc_id, minh AS h FROM mins WHERE pos >= 5
+        |ORDER BY doc_id, h""".stripMargin),
+    "ann_lsh_topk" -> (EmbCte +
+      """,
+        |qb AS (SELECT bucket FROM sig WHERE vec_id=0),
+        |qe AS (SELECT i, x FROM elems WHERE vec_id=0),
+        |qn AS (SELECT sqrt(sum(x*x)) AS qn FROM qe),
+        |cand AS (SELECT s.vec_id, s.bucket FROM sig s, qb WHERE s.bucket=qb.bucket),
+        |dots AS (SELECT e.vec_id, sum(e.x*q.x) AS dot
+        |  FROM elems e JOIN qe q USING(i) JOIN cand c ON c.vec_id=e.vec_id GROUP BY 1)
+        |SELECT d.vec_id, round(dot/(n.nrm*qn.qn),4) AS sim, c.bucket,
+        |  row_number() OVER (ORDER BY round(dot/(n.nrm*qn.qn),4) DESC, d.vec_id) AS rank
+        |FROM dots d JOIN nrm n USING(vec_id) JOIN cand c USING(vec_id) CROSS JOIN qn
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+    "dedup_embed_lsh" -> (EmbCte +
+      """,
+        |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sig a JOIN sig b ON a.bucket=b.bucket AND a.vec_id<b.vec_id),
+        |dots AS (SELECT p.vec_a, p.vec_b, sum(ea.x*eb.x) AS dot
+        |  FROM pairs p JOIN elems ea ON ea.vec_id=p.vec_a
+        |  JOIN elems eb ON eb.vec_id=p.vec_b AND eb.i=ea.i GROUP BY 1,2)
+        |SELECT d.vec_a, d.vec_b, round(dot/(na.nrm*nb.nrm),4) AS sim
+        |FROM dots d JOIN nrm na ON na.vec_id=d.vec_a JOIN nrm nb ON nb.vec_id=d.vec_b
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.40
+        |ORDER BY vec_a, vec_b""".stripMargin),
+    "mm_features" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        |bytes AS (SELECT doc_id, ascii(substr(text, CAST(g.i AS INTEGER), 1)) AS v
+        |  FROM b, LATERAL (SELECT unnest(range(1, n+1)) AS i) g)
+        |SELECT b.doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST((n*31)%64 + 1 AS INTEGER) AS width,
+        |  CAST(sum(v) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(CASE WHEN v=0 THEN 1 ELSE 0 END) AS BIGINT) AS histo_0,
+        |  CAST(count(DISTINCT v) AS INTEGER) AS distinct_bytes
+        |FROM b JOIN bytes USING(doc_id) GROUP BY b.doc_id, n
+        |ORDER BY doc_id""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id=0),
         |pairs AS (SELECT vec_id, e.embedding AS ee, qe FROM embeddings e, q),

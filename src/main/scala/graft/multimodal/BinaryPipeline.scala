@@ -37,7 +37,8 @@ object BinaryPipeline {
                             meta_width: Int, meta_height: Int)
 
   final case class Features(media_id: Long, n_bytes: Long, width: Int, height: Int,
-                            mean_byte: Double, histo_0: Long, distinct_bytes: Int)
+                            sum_bytes: Long, mean_byte: Double, histo_0: Long,
+                            distinct_bytes: Int)
 
   /** Attach a synthetic binary payload to any (id, text) table — the test
     * stand-in for reading real media blobs.
@@ -74,7 +75,7 @@ object BinaryPipeline {
           var distinct = 0
           var j = 0
           while (j < 256) { if (seen(j)) distinct += 1; j += 1 }
-          Features(r.media_id, d.pixels.length.toLong, d.width, d.height,
+          Features(r.media_id, d.pixels.length.toLong, d.width, d.height, sum,
             if (d.pixels.isEmpty) 0.0 else sum.toDouble / d.pixels.length,
             zeros, distinct)
         }

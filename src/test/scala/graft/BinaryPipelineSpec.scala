@@ -22,9 +22,10 @@ class BinaryPipelineSpec extends AnyFunSuite {
     assert(feats(4L).getLong(1) == 6L) // 3 greek letters × 2 bytes
     // identical payloads → identical features (deterministic stub decode)
     assert(feats(1L).toSeq.drop(1) == feats(3L).toSeq.drop(1))
-    // mean byte of "hello world"
+    // sum/mean byte of "hello world"
     val bytes = "hello world".getBytes("UTF-8").map(_ & 0xff)
-    assert(math.abs(feats(1L).getDouble(4) - bytes.sum.toDouble / bytes.length) < 1e-12)
-    assert(feats(1L).getInt(6) == bytes.distinct.length)
+    assert(feats(1L).getLong(4) == bytes.sum.toLong)
+    assert(math.abs(feats(1L).getDouble(5) - bytes.sum.toDouble / bytes.length) < 1e-12)
+    assert(feats(1L).getInt(7) == bytes.distinct.length)
   }
 }
