@@ -53,6 +53,7 @@ object ScaleProbe {
   }
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 100000L
-    runAt(8, n); runAt(32, n)
+    val cores = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(8, 32)
+    cores.foreach(c => runAt(c, n))
   }
 }

@@ -19,6 +19,22 @@ final case class PostingRow(
     term: String,
     chunk: Int,
     ndocs: Long,
+    maxTf: Int,
+    blocks: Array[PostingBlock])
+
+/** One map-side-packed sorted run of a (shard, term) cell — the unit that
+  * crosses the build shuffle. Packing BEFORE the shuffle (RUM's in-memory
+  * BuildAccumulator flush, src/rumbulk.c:27-199, re-expressed as a
+  * map-side combine) ships delta+varbyte blocks instead of one row per
+  * (term, doc): far fewer shuffle rows/bytes for head terms, which is what
+  * scaling to more executors is bounded by.
+  */
+final case class RunRow(
+    shard: Int,
+    term: String,
+    firstDoc: Long,
+    ndocs: Long,
+    maxTf: Int,
     blocks: Array[PostingBlock])
 
 /** Per-doc row: shard + token count (BM25 length norm; also the full-scan
@@ -73,7 +89,7 @@ object IndexBuilder {
         */
       attach: Option[String] = None) {
     def hash: String = {
-      val s = s"v2|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}"
+      val s = s"v3|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}"
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -134,7 +150,23 @@ object IndexBuilder {
         col("e.tf").as("tf"), col("e.len").as("len"), col("e.pos").as("pos"), col("addon"))
   }
 
-  /** shuffle + sort + pack posting tuples into chunk rows. */
+  /** pack posting tuples into canonical chunk rows — two stages:
+    *
+    *   A. narrow per-input-partition external sort (Spark's
+    *      UnsafeExternalSorter supplies the memory-bounded spill RUM gets
+    *      from maintenance_work_mem flushes, src/ruminsert.c:569-589) +
+    *      streaming run pack: one delta+varbyte [[RunRow]] per
+    *      (input partition, shard, term). The SHUFFLE then moves packed
+    *      blocks, not (term, doc) rows.
+    *   B. hash shuffle on (shard, term) + k-way merge of each cell's runs
+    *      (the posting merge of src/rumdatapage.c:367-408) into final
+    *      chunk rows, deduping equal docIds (first run in (firstDoc, seq)
+    *      order wins). Single-run cells — every rare term — pass through
+    *      without a decode/re-encode round-trip.
+    *
+    * Output is canonical: independent of the input partitioning, the same
+    * corpus packs byte-identical chunks (rebuild/resume determinism).
+    */
   private def packDataset(spark: SparkSession, exploded: DataFrame,
                           params: Params): Dataset[PostingRow] = {
     import spark.implicits._
@@ -142,54 +174,125 @@ object IndexBuilder {
     val maxChunk = params.maxPostingsPerChunk
     val p = if (params.numPartitions > 0) params.numPartitions
             else spark.sessionState.conf.numShufflePartitions
-    exploded
+
+    // ---- stage A: map-side sorted-run pack (no shuffle) ----
+    val runs: Dataset[RunRow] = exploded
       .select("shard", "term", "docId", "tf", "len", "pos", "addon") // fixed order for the tuple encoder
-      .repartition(p, col("shard"), col("term"))
       .sortWithinPartitions("shard", "term", "docId")
       .as[(Int, String, Long, Int, Int, Array[Byte], Long)]
       .mapPartitions { it =>
-        new Iterator[PostingRow] {
-          private var pending: List[PostingRow] = Nil
+        new Iterator[RunRow] {
+          private var pending: List[RunRow] = Nil
           private var cur: (Int, String) = null
           private var builder: PostingListBuilder = null
-          private var chunkIdx = 0
-          private var nInChunk = 0
           private var lastDoc = Long.MinValue
 
-          private def finishChunk(): Unit = {
+          private def closeRun(): Unit = {
             if (builder != null && builder.totalDocs > 0) {
               val blocks = builder.result()
-              pending ::= PostingRow(cur._1, cur._2, chunkIdx, blocks.map(_.n.toLong).sum, blocks)
-              chunkIdx += 1
+              pending ::= RunRow(cur._1, cur._2, blocks.head.firstDoc,
+                blocks.map(_.n.toLong).sum, blocks.map(_.maxTf).max, blocks)
             }
             builder = new PostingListBuilder(blockSize)
-            nInChunk = 0
           }
 
           private def fill(): Unit = {
             while (pending.isEmpty && it.hasNext) {
               val (shard, term, docId, tf, len, pos, addon) = it.next()
               if (cur == null || cur._1 != shard || cur._2 != term) {
-                finishChunk()
+                closeRun()
                 cur = (shard, term)
-                chunkIdx = 0
                 lastDoc = Long.MinValue
               }
-              if (docId != lastDoc) { // dedup (rumMergeRumItems keeps first)
+              if (docId != lastDoc) { // in-partition dedup (keep first)
                 builder.add(docId, tf, len, pos, addon)
                 lastDoc = docId
-                nInChunk += 1
-                if (nInChunk >= maxChunk) finishChunk()
               }
             }
             if (pending.isEmpty && !it.hasNext && builder != null && builder.totalDocs > 0)
-              finishChunk()
+              closeRun()
           }
 
           def hasNext: Boolean = { fill(); pending.nonEmpty }
-          def next(): PostingRow = { fill(); val h = pending.head; pending = pending.tail; h }
+          def next(): RunRow = { fill(); val h = pending.head; pending = pending.tail; h }
         }
       }
+
+    // ---- stage B: shuffle packed runs, merge each (shard, term) cell ----
+    runs
+      .repartition(p, col("shard"), col("term"))
+      .sortWithinPartitions("shard", "term", "firstDoc")
+      .mapPartitions(it => mergeCells(it, blockSize, maxChunk))
+  }
+
+  /** Merge consecutive same-(shard,term) runs into canonical chunk rows. */
+  private def mergeCells(it: Iterator[RunRow], blockSize: Int,
+                         maxChunk: Int): Iterator[PostingRow] = {
+    val runsIt = it.buffered
+    new Iterator[PostingRow] {
+      private var pending: List[PostingRow] = Nil
+
+      private def emit(shard: Int, term: String, runs: Seq[RunRow]): List[PostingRow] = {
+        // fast path: one run, fits one chunk — reuse packed blocks verbatim
+        if (runs.length == 1 && runs.head.ndocs <= maxChunk) {
+          val r = runs.head
+          return List(PostingRow(shard, term, 0, r.ndocs, r.maxTf, r.blocks))
+        }
+        // k-way merge: min docId across cursors; ties keep the earliest run
+        // in (firstDoc, arrival) order and skip the rest (dedup keep-first)
+        val cursors = runs.map(r => new PostingCursor(Iterator(r.blocks))).toArray
+        val out = scala.collection.mutable.ListBuffer.empty[PostingRow]
+        var chunkIdx = 0
+        var builder = new PostingListBuilder(blockSize)
+        var nInChunk = 0
+        def flushChunk(): Unit = {
+          if (builder.totalDocs > 0) {
+            val blocks = builder.result()
+            out += PostingRow(shard, term, chunkIdx,
+              blocks.map(_.n.toLong).sum, blocks.map(_.maxTf).max, blocks)
+            chunkIdx += 1
+          }
+          builder = new PostingListBuilder(blockSize)
+          nInChunk = 0
+        }
+        var lastDoc = Long.MinValue
+        while (cursors.exists(!_.done)) {
+          var minIdx = -1
+          var minDoc = Long.MaxValue
+          var i = 0
+          while (i < cursors.length) {
+            if (!cursors(i).done && cursors(i).docId < minDoc) {
+              minDoc = cursors(i).docId; minIdx = i
+            }
+            i += 1
+          }
+          val c = cursors(minIdx)
+          if (minDoc != lastDoc) {
+            builder.add(minDoc, c.tf, c.docLen, c.rawPositions, c.addon)
+            lastDoc = minDoc
+            nInChunk += 1
+            if (nInChunk >= maxChunk) flushChunk()
+          }
+          c.next()
+        }
+        flushChunk()
+        out.toList
+      }
+
+      private def fill(): Unit = {
+        while (pending.isEmpty && runsIt.hasNext) {
+          val head = runsIt.next()
+          val cell = scala.collection.mutable.ArrayBuffer(head)
+          while (runsIt.hasNext && runsIt.head.shard == head.shard &&
+                 runsIt.head.term == head.term)
+            cell += runsIt.next()
+          pending = emit(head.shard, head.term, cell.toSeq)
+        }
+      }
+
+      def hasNext: Boolean = { fill(); pending.nonEmpty }
+      def next(): PostingRow = { fill(); val h = pending.head; pending = pending.tail; h }
+    }
   }
 
   /** Recompute global stats + per-shard metrics + manifest over all shards
@@ -198,11 +301,15 @@ object IndexBuilder {
     */
   private def refresh(spark: SparkSession, indexDir: String, params: Params,
                       buildMs: Long, lineage: String): IndexMeta = {
+    // top-level ndocs/maxTf columns mean this pass never touches the fat
+    // `blocks` column — parquet column pruning keeps the stats refresh a
+    // metadata-sized read, not a full index re-read
     val allPostings = spark.read.parquet(SegmentCatalog.postingsDir(indexDir))
+      .select("shard", "term", "ndocs", "maxTf")
     val cells = allPostings
       .groupBy("shard", "term")
       .agg(sum("ndocs").as("df"),
-        max(expr("aggregate(blocks, 0, (acc, b) -> greatest(acc, b.maxTf))")).as("maxTf"),
+        max("maxTf").as("maxTf"),
         count(lit(1)).as("rows"))
       .persist()
     cells.groupBy("term")
@@ -221,7 +328,7 @@ object IndexBuilder {
     val (numDocs, totalTokens) = (r.getLong(0), r.getLong(1))
 
     val meta = IndexMeta(
-      formatVersion = 2,
+      formatVersion = 3,
       numDocs = numDocs,
       totalTokens = totalTokens,
       avgLen = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,

@@ -211,4 +211,24 @@ final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
     * lets WAND skip scoring an entire block.
     */
   def curBlockLastDoc: Long = blocks(bi).lastDoc
+
+  /** Header-only peek at the block that would contain the first posting
+    * with docId >= target: returns (maxTf, lastDoc) WITHOUT decoding or
+    * moving the cursor — the block-max WAND probe (the reference reads the
+    * same bound from its intra-page item indexes, src/rumget.c:1574-1694
+    * scanPage). Returns null when the answer lies beyond the current block
+    * array (caller falls back to the term-level upper bound).
+    */
+  def peekBlock(target: Long): PostingCursor.BlockInfo = {
+    if (done) return null
+    var b = bi
+    while (b < blocks.length && blocks(b).lastDoc < target) b += 1
+    if (b >= blocks.length) null
+    else PostingCursor.BlockInfo(blocks(b).maxTf, blocks(b).lastDoc)
+  }
+}
+
+object PostingCursor {
+  /** Header fields of one posting block (see [[PostingCursor.peekBlock]]). */
+  final case class BlockInfo(maxTf: Int, lastDoc: Long)
 }

@@ -59,6 +59,12 @@ object SearchKernel extends Serializable {
     def docLen: Int
     def addonVal: Long
     def positions: (Array[Int], Array[Byte])
+
+    /** Header-only block-max probe at `target`: (tf upper bound, block end)
+      * for docIds in [target, blockEnd], or null when unknown (caller uses
+      * the term-level bound). Never decodes or moves the stream.
+      */
+    def peekBlock(target: Long): PostingCursor.BlockInfo
   }
 
   object EmptyCursor extends KeyCursor {
@@ -70,6 +76,7 @@ object SearchKernel extends Serializable {
     def docLen = 0
     def addonVal = 0L
     def positions: (Array[Int], Array[Byte]) = (Array.emptyIntArray, Array.emptyByteArray)
+    def peekBlock(target: Long): PostingCursor.BlockInfo = null
   }
 
   final class SingleCursor(val cur: PostingCursor) extends KeyCursor {
@@ -81,6 +88,7 @@ object SearchKernel extends Serializable {
     def docLen: Int = cur.docLen
     def addonVal: Long = cur.addon
     def positions: (Array[Int], Array[Byte]) = cur.positions
+    def peekBlock(target: Long): PostingCursor.BlockInfo = cur.peekBlock(target)
   }
 
   /** Positional union over the expansion of a prefix key — the partial-
@@ -164,6 +172,26 @@ object SearchKernel extends Serializable {
       }
       val sorted = ps.sortBy(_._1)
       (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    }
+
+    /** Conservative union bound: sum member block maxes (a doc normally
+      * lives in one run; duplicates sum their tfs, so sum stays an upper
+      * bound), block end = min member block end. Unknown member → null.
+      */
+    def peekBlock(target: Long): PostingCursor.BlockInfo = {
+      var sumTf = 0
+      var end = Long.MaxValue
+      var i = 0
+      while (i < members.length) {
+        if (!members(i).done) {
+          val b = members(i).peekBlock(target)
+          if (b == null) return null
+          sumTf += b.maxTf
+          if (b.lastDoc < end) end = b.lastDoc
+        }
+        i += 1
+      }
+      if (end == Long.MaxValue) null else PostingCursor.BlockInfo(sumTf, end)
     }
   }
 
@@ -413,24 +441,67 @@ object SearchKernel extends Serializable {
         else {
           val pivotDoc = cursors(order(pivot)).docId
           if (cursors(order(0)).docId == pivotDoc) {
-            // fully evaluate pivotDoc
-            var s = 0.0
-            var j = 0
-            while (j < nT) {
-              val c = cursors(order(j))
-              if (!c.done) {
-                if (c.docId < pivotDoc) c.seek(pivotDoc)
-                if (!c.done && c.docId == pivotDoc)
-                  s += Bm25.termScore(c.tf, dfs(order(j)), c.docLen.toLong, avgLen, numDocs)
+            // block-max refinement (the BMW step): header-only bound over
+            // the frontier's current blocks; when even the block maxes
+            // cannot beat θ, jump past the tightest block end instead of
+            // scoring every doc in it (the reference reads this bound from
+            // its intra-page item indexes, src/rumget.c:1574-1694)
+            var skipTo = -1L
+            if (th > 0) {
+              var bub = 0.0
+              var blockEnd = Long.MaxValue
+              var known = true
+              var j = 0
+              while (j <= pivot && known) {
+                val c = cursors(order(j))
+                if (!c.done) {
+                  val b = c.peekBlock(pivotDoc)
+                  if (b == null) known = false
+                  else {
+                    bub += Bm25.maxTermScore(b.maxTf, dfs(order(j)), avgLen, numDocs)
+                    if (b.lastDoc < blockEnd) blockEnd = b.lastDoc
+                  }
+                }
+                j += 1
               }
-              j += 1
+              if (known && bub < th && blockEnd != Long.MaxValue) {
+                // safe range end: also capped by the next frontier docId so
+                // the contributing-cursor set stays fixed over the range
+                val dCap =
+                  if (pivot + 1 < nT && !cursors(order(pivot + 1)).done)
+                    cursors(order(pivot + 1)).docId
+                  else Long.MaxValue
+                val d = math.min(blockEnd + 1, dCap)
+                if (d > pivotDoc) skipTo = d
+              }
             }
-            offer(s, pivotDoc)
-            j = 0
-            while (j < nT) {
-              val c = cursors(order(j))
-              if (!c.done && c.docId == pivotDoc) c.next()
-              j += 1
+            if (skipTo > 0) {
+              var j = 0
+              while (j <= pivot) {
+                val c = cursors(order(j))
+                if (!c.done && c.docId < skipTo) c.seek(skipTo)
+                j += 1
+              }
+            } else {
+              // fully evaluate pivotDoc
+              var s = 0.0
+              var j = 0
+              while (j < nT) {
+                val c = cursors(order(j))
+                if (!c.done) {
+                  if (c.docId < pivotDoc) c.seek(pivotDoc)
+                  if (!c.done && c.docId == pivotDoc)
+                    s += Bm25.termScore(c.tf, dfs(order(j)), c.docLen.toLong, avgLen, numDocs)
+                }
+                j += 1
+              }
+              offer(s, pivotDoc)
+              j = 0
+              while (j < nT) {
+                val c = cursors(order(j))
+                if (!c.done && c.docId == pivotDoc) c.next()
+                j += 1
+              }
             }
           } else {
             // advance laggards up to pivotDoc
