@@ -75,7 +75,9 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.6f" }.mkString("{", ",", "}")
-    val total = results.values.sum
+    // total = wall seconds only; rate keys (files/sec) are reported but
+    // must not be summed into a seconds metric
+    val total = results.filterNot(_._1 == "corpus_files_per_sec").values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
