@@ -67,7 +67,12 @@ object Bench {
     results += "query_p50" -> lat(lat.length / 2)
     results += "query_p95" -> lat(math.min(lat.length - 1, (lat.length * 0.95).toInt))
 
-    // ---- driver query suite (warm index via first ft_ call) ----
+    // ---- driver query suite ----
+    // pre-warm the per-sfDir document index so the alphabetically-first
+    // ft_ query's time reflects the query, not the one-time index build
+    // (build cost is reported separately as corpus_build)
+    try SparkEntry.queries("ft_df")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
