@@ -303,11 +303,16 @@ object SparkEntry {
         .agg(collect_set("term").as("ts"))
       val i = size(array_intersect(col("ts"), typedlit(qArr))).cast("long")
       val nu = size(col("ts")).cast("long")
+      // top-20 via orderBy+limit (TakeOrderedAndProject — distributed
+      // per-partition heaps), NOT row_number over an unpartitioned window
+      // (which would single-partition-sort the full corpus at scale);
+      // rank is then computed over the 20 survivors only
       terms.select(col("doc_id"), i.as("i_cnt"), nu.as("n_uniq"))
         .where(col("i_cnt") > 0)
+        .orderBy((col("i_cnt") * col("i_cnt") / col("n_uniq")).desc, col("doc_id"))
+        .limit(20)
         .withColumn("rnk", row_number().over(Window.orderBy(
           (col("i_cnt") * col("i_cnt") / col("n_uniq")).desc, col("doc_id"))))
-        .where(col("rnk") <= 20)
         .orderBy("rnk")
     }),
     "inv_query_match" -> ((s, dir) => {
