@@ -73,17 +73,24 @@ object Bench {
     // (build cost is reported separately as corpus_build)
     try SparkEntry.queries("ft_df")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          // a broken query must not silently bench as ~0 s
+          failed += name
+          System.err.println(s"[bench] query $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+      }
       results += name -> (System.nanoTime() - t0) / 1e9
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.6f" }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total = wall seconds only; rate keys (files/sec) are reported but
     // must not be summed into a seconds metric
     val total = results.filterNot(_._1 == "corpus_files_per_sec").values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 
 import graft.build.IndexBuilder
 import graft.search.Searcher
-import graft.tokenize.Tokenizer
 
 /** Driver contract — each `queries` entry returns a DataFrame over the
   * parquet tables in `sfDir`; `oracleSql` holds the equivalent DuckDB SQL
@@ -26,12 +25,17 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  private val tokUdf = udf((text: String) => Tokenizer.simpleTokens(if (text == null) "" else text))
+  /** Native (codegen'd) twin of Tokenizer.simpleTokens — the tokenization
+    * contract is exactly this regex, so the built-in is definitionally safe
+    * and avoids a ScalaUDF node in every non-index query plan.
+    */
+  private def tokArray(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
   /** (doc_id, term, pos) token table, 1-based positions. */
   private def tokens(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(col("doc_id"), posexplode(tokUdf(col("text"))).as(Seq("pos0", "term")))
+      .select(col("doc_id"), posexplode(tokArray(col("text"))).as(Seq("pos0", "term")))
       .select(col("doc_id"), col("term"), (col("pos0") + 1).as("pos"))
 
   /** 3-token shingles per doc: (doc_id, pos, sh). */
@@ -289,7 +293,7 @@ object SparkEntry {
     "token_counts" -> ((s, dir) => {
       documents(s, dir).select(col("doc_id"),
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("ws_tokens"),
-        size(tokUdf(col("text"))).cast("long").as("re_tokens"))
+        size(tokArray(col("text"))).cast("long").as("re_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -553,7 +557,7 @@ object SparkEntry {
         |sums AS (SELECT doc_id, b,
         |  sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS v
         |  FROM th, bits GROUP BY 1,2)
-        |SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "dedup_jaccard_pairs" -> (ShingCte +
       """,
@@ -574,8 +578,8 @@ object SparkEntry {
         |WHERE rank <= 4 ORDER BY doc_id, rank""".stripMargin),
     "text_quality" -> (ToksCte +
       """SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq,
-        |sum(length(term)) AS total_len,
-        |sum(CASE WHEN term IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS n_stop
+        |CAST(sum(length(term)) AS BIGINT) AS total_len,
+        |CAST(sum(CASE WHEN term IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
         |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "token_counts" ->
       """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS ws_tokens,

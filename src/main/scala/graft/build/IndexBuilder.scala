@@ -300,7 +300,8 @@ object IndexBuilder {
     * cells, then two micro re-aggregations), not one per output.
     */
   private def refresh(spark: SparkSession, indexDir: String, params: Params,
-                      buildMs: Long, lineage: String): IndexMeta = {
+                      buildMs: Long, lineage: String,
+                      lastBatchId: Long = -1L): IndexMeta = {
     // top-level ndocs/maxTf columns mean this pass never touches the fat
     // `blocks` column — parquet column pruning keeps the stats refresh a
     // metadata-sized read, not a full index re-read
@@ -339,7 +340,8 @@ object IndexBuilder {
       attachCol = params.attach.getOrElse(""),
       inputLineage = lineage,
       paramsHash = params.hash,
-      shards = shardsMeta.sortBy(_.shard))
+      shards = shardsMeta.sortBy(_.shard),
+      lastBatchId = lastBatchId)
     SegmentCatalog.save(indexDir, meta)
     meta
   }
@@ -401,7 +403,7 @@ object IndexBuilder {
     * ranges; run [[compact]] periodically to restore single-run layout.
     */
   def append(spark: SparkSession, newCorpus: DataFrame, docIdCol: String,
-             textCol: String, indexDir: String): IndexMeta = {
+             textCol: String, indexDir: String, batchId: Long = -1L): IndexMeta = {
     val t0 = System.currentTimeMillis()
     val meta = SegmentCatalog.load(indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
@@ -418,7 +420,8 @@ object IndexBuilder {
 
     val buildMs = System.currentTimeMillis() - t0
     val lineage = s"append(${newCorpus.queryExecution.logical.toString.linesIterator.take(1).mkString})"
-    refresh(spark, indexDir, params, buildMs, lineage)
+    refresh(spark, indexDir, params, buildMs, lineage,
+      lastBatchId = math.max(meta.lastBatchId, batchId))
   }
 
   /** Delete docs by id — the vacuum/bulkdelete path (src/rumvacuum.c):
@@ -483,6 +486,7 @@ object IndexBuilder {
     new java.io.File(tmpDocs).renameTo(new java.io.File(SegmentCatalog.docsDir(indexDir)))
 
     val buildMs = System.currentTimeMillis() - t0
-    refresh(spark, indexDir, params, buildMs, s"compact(exclude=${exclude.isDefined})")
+    refresh(spark, indexDir, params, buildMs, s"compact(exclude=${exclude.isDefined})",
+      lastBatchId = meta.lastBatchId)
   }
 }

@@ -31,7 +31,12 @@ final case class IndexMeta(
     attachCol: String,
     inputLineage: String,
     paramsHash: String,
-    shards: List[ShardMeta]) {
+    shards: List[ShardMeta],
+    /** highest streaming micro-batch id applied (-1 = none) — committed in
+      * the same atomic manifest move as the data it covers, so a replayed
+      * foreachBatch can skip already-applied batches (exactly-once guard)
+      */
+    lastBatchId: Long = -1L) {
   def committedShards: Set[Int] = shards.map(_.shard).toSet
   def isComplete: Boolean = committedShards.size == nShards
 }
@@ -65,6 +70,7 @@ object SegmentCatalog {
     sb.append(s"attachCol=${meta.attachCol}\n")
     sb.append(s"inputLineage=${meta.inputLineage.replace("\n", " ")}\n")
     sb.append(s"paramsHash=${meta.paramsHash}\n")
+    sb.append(s"lastBatchId=${meta.lastBatchId}\n")
     meta.shards.sortBy(_.shard).foreach { s =>
       sb.append(s"shard=${s.shard},${s.terms},${s.chunkRows},${s.postings},${s.buildMs},${s.committedAtMs}\n")
     }
@@ -107,6 +113,7 @@ object SegmentCatalog {
       attachCol = kv.getOrElse("attachCol", ""),
       inputLineage = kv.getOrElse("inputLineage", ""),
       paramsHash = kv("paramsHash"),
-      shards = shards.toList))
+      shards = shards.toList,
+      lastBatchId = kv.getOrElse("lastBatchId", "-1").toLong))
   }
 }

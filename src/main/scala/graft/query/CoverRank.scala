@@ -83,7 +83,12 @@ object CoverRank {
     }
 
     // ---- cover iteration + scoring ----
-    val coverKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Slot identity = the exact sequence of operand indexes in the cover.
+    // The reference hashes this sequence lossily ("quick and dirty hash
+    // key", src/rum_ts_utils.c:1241-1248) and linear-scans slots; we keep
+    // the same semantic intent (same operand sequence -> same slot) but
+    // collision-free and O(1) via a HashMap keyed on the sequence itself.
+    val coverSlots = scala.collection.mutable.HashMap.empty[Vector[Int], Int]
     val coverLens = scala.collection.mutable.ArrayBuffer.empty[Int]
     val coverRanks = scala.collection.mutable.ArrayBuffer.empty[Double]
 
@@ -142,14 +147,14 @@ object CoverRank {
       if (emitted) {
         // -- per-cover scoring (calc_score_docr loop body) --
         var invSum = 0.0
-        var key = 0L
+        val keySeq = Vector.newBuilder[Int]
         var i = beginIdx
         while (i <= endIdx) {
           invSum += InvWeights(doc(i).wclass)
-          // composition hash: stable per-key identity folded in sequence
-          key = (key << 1) + ((doc(i).keyIdx + 1).toLong * 0x9E3779B97F4A7C15L | 1L)
+          keySeq += doc(i).keyIdx
           i += 1
         }
+        val key = keySeq.result()
         // distinct keys present in cover = operand state from backward pass,
         // which covered [beginIdx..endIdx]
         val inCover = new Array[Boolean](cq.numKeys)
@@ -164,11 +169,10 @@ object CoverRank {
         var nNoise = (q - p) - (endIdx - beginIdx)
         if (nNoise < 0) nNoise = (endIdx - beginIdx) / 2
 
-        var slot = coverKeys.indexOf(key)
-        if (slot < 0) {
-          coverKeys += key; coverLens += 0; coverRanks += 0.0
-          slot = coverKeys.length - 1
-        }
+        val slot = coverSlots.getOrElseUpdate(key, {
+          coverLens += 0; coverRanks += 0.0
+          coverLens.length - 1
+        })
         coverLens(slot) += 1
         val l = coverLens(slot).toDouble
         coverRanks(slot) += cpos / (1 + nNoise) / (l * l) / Zeta2

@@ -12,12 +12,18 @@ import graft.build.{IndexBuilder, SegmentCatalog}
   *
   * Dataflow: `readStream` source → `foreachBatch` → [[IndexBuilder.append]]
   * (tokenize → shard shuffle → pack blocks → parquet append) → manifest
-  * commit. Each micro-batch is atomic at the manifest level, exactly like a
-  * batch append; Spark's streaming checkpoint (`checkpointLocation`) makes
-  * redelivery idempotent at the source offset level, and the manifest's
-  * lineage row records each batch. Query-side k-way merge over overlapping
-  * chunk ranges (micro-segments) means readers never block on ingest;
-  * [[IndexBuilder.compact]] restores single-run layout out-of-band.
+  * commit. foreachBatch is at-least-once, so each applied batchId is
+  * stamped into the manifest in the same atomic commit as its data
+  * ([[graft.build.IndexMeta.lastBatchId]]); a batch redelivered after a
+  * crash (append committed, streaming checkpoint not yet) is detected as
+  * `batchId <= lastBatchId` and skipped — the standard exactly-once guard.
+  * Remaining window: a crash after the parquet write but before the
+  * manifest commit replays the data files; run [[IndexBuilder.compact]]
+  * after crash recovery to restore exact state (postings dedup keep-first
+  * on docId, so queries stay correct meanwhile except df/tf stats).
+  * Query-side k-way merge over overlapping chunk ranges (micro-segments)
+  * means readers never block on ingest; [[IndexBuilder.compact]] restores
+  * single-run layout out-of-band.
   */
 object StreamingIndexer {
 
@@ -35,8 +41,12 @@ object StreamingIndexer {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          IndexBuilder.append(spark, batch, docIdCol, textCol, indexDir)
+        val applied = SegmentCatalog.load(indexDir).map(_.lastBatchId).getOrElse(-1L)
+        if (batchId <= applied) {
+          // at-least-once redelivery of an already-committed batch — skip
+          ()
+        } else if (!batch.isEmpty) {
+          IndexBuilder.append(spark, batch, docIdCol, textCol, indexDir, batchId = batchId)
           ()
         }
       }
