@@ -55,18 +55,21 @@ object SparkEntry {
   private def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Per-sfDir index over documents, built once per JVM. */
+  /** Per-(sfDir, tokenizer) index over documents, built once per JVM. */
   private object IndexCache {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    def searcher(s: SparkSession, sfDir: String): Searcher = {
-      val idxDir = cache.computeIfAbsent(sfDir, _ => {
+    private def of(s: SparkSession, sfDir: String, tokenizer: String): Searcher = {
+      val idxDir = cache.computeIfAbsent(s"$sfDir#$tokenizer", _ => {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
         IndexBuilder.build(s, documents(s, sfDir), "doc_id", "text", dir,
-          IndexBuilder.Params(nShards = 8, attach = Some("n_chars")))
+          IndexBuilder.Params(nShards = 8, tokenizer = tokenizer, attach = Some("n_chars")))
         dir
       })
       new Searcher(s, idxDir)
     }
+    def searcher(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple")
+    /** title-weighted variant: first 8 tokens carry class A. */
+    def searcherW(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple_title8")
   }
 
   private def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
@@ -185,9 +188,26 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), col("score"), col("rank"))
     }),
     "ft_topk_cover" -> ((s, dir) => {
-      // cover-density ranking is not SQL-expressible: rows-only oracle;
-      // exact semantics are locked by IndexSpec against the reference
+      // cover-density top-k; for a 2-term AND the minimal covers are the
+      // adjacent different-term pairs of the merged occurrence sequence,
+      // which the DuckDB oracle enumerates with window functions
       IndexCache.searcher(s, dir).topKCover("order & window", 10)
+        .withColumn("distance", round(col("distance"), 4))
+        .select(col("docId").as("doc_id"), col("distance"))
+        .orderBy("distance", "doc_id")
+    }),
+    "ft_weighted_count" -> ((s, dir) => {
+      // weight-masked match: docs where 'merge' occurs with class A
+      // (title-weighted index: pos <= 8) — RUM weight filters,
+      // reference src/rum_ts_utils.c:128-197 checkcondition_rum + weights[]
+      val r = IndexCache.searcherW(s, dir).count("merge:A & window")
+      s.range(1).select(lit(r).as("cnt"))
+    }),
+    "ft_weighted_rank" -> ((s, dir) => {
+      // weighted cover-density rank: class-A occurrences carry invWeight 1
+      // vs D's 10, so title hits dominate the score (rum_ts_distance with
+      // weighted lexemes, reference expected/rum.out:363-367)
+      IndexCache.searcherW(s, dir).topKCover("order & window", 10)
         .withColumn("distance", round(col("distance"), 4))
         .select(col("docId").as("doc_id"), col("distance"))
         .orderBy("distance", "doc_id")
@@ -461,6 +481,31 @@ object SparkEntry {
       """SELECT count(*) AS cnt FROM (
         |  SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'win%'
         |  INTERSECT SELECT DISTINCT doc_id FROM toks WHERE term='sort') x""".stripMargin),
+    // Cover-density distance for the fixed 2-term AND 'order & window'
+    // (reference Cover + calc_score_docr, src/rum_ts_utils.c:855-964,
+    // 1209-1328): minimal covers = adjacent different-term occurrence
+    // pairs; per cover Cpos=(2/InvSum)*2=0.2 (unweighted, invWeight 10),
+    // 1+nNoise=(q-p); the l-th cover of each operand-sequence slot
+    // contributes Cpos/(q-p)/l^2/zeta(2); distance = 1/score in float32
+    // (CAST AS REAL twice mirrors the engine's float4 arithmetic).
+    "ft_topk_cover" -> (ToksCte +
+      """,
+        |occ AS (SELECT doc_id, pos, term FROM toks WHERE term IN ('order','window')),
+        |seq AS (SELECT doc_id, pos, term,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS q,
+        |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm
+        |        FROM occ),
+        |covers AS (SELECT doc_id, pos AS p, q, term AS t1 FROM seq
+        |           WHERE nterm IS NOT NULL AND nterm <> term),
+        |numbered AS (SELECT doc_id, p, q, t1,
+        |             row_number() OVER (PARTITION BY doc_id, t1 ORDER BY p) AS l
+        |             FROM covers),
+        |scores AS (SELECT doc_id, sum(0.2/(q - p)/(l*l)/1.64493406685) AS score
+        |           FROM numbered GROUP BY doc_id),
+        |dists AS (SELECT doc_id, CAST(CAST(1.0 AS REAL)/CAST(score AS REAL) AS DOUBLE) AS d
+        |          FROM scores)
+        |SELECT doc_id, round(d, 4) AS distance
+        |FROM dists ORDER BY d, doc_id LIMIT 10""".stripMargin),
     "ft_topk_bm25" -> (ToksCte +
       """,
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
@@ -478,6 +523,32 @@ object SparkEntry {
         |SELECT doc_id, score,
         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
         |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    "ft_weighted_count" -> (ToksCte +
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT DISTINCT doc_id FROM toks WHERE term='merge' AND pos<=8
+        |  INTERSECT SELECT DISTINCT doc_id FROM toks WHERE term='window') x""".stripMargin),
+    // Weighted cover oracle: invWeight 1 for class-A endpoints (pos<=8),
+    // 10 for class D; Cpos=(2/InvSum)*2 — otherwise as ft_topk_cover.
+    "ft_weighted_rank" -> (ToksCte +
+      """,
+        |occ AS (SELECT doc_id, pos, term FROM toks WHERE term IN ('order','window')),
+        |seq AS (SELECT doc_id, pos, term,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS q,
+        |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm
+        |        FROM occ),
+        |covers AS (SELECT doc_id, pos AS p, q, term AS t1,
+        |           CASE WHEN pos<=8 THEN 1.0 ELSE 10.0 END
+        |             + CASE WHEN q<=8 THEN 1.0 ELSE 10.0 END AS invsum
+        |           FROM seq WHERE nterm IS NOT NULL AND nterm <> term),
+        |numbered AS (SELECT doc_id, p, q, invsum, t1,
+        |             row_number() OVER (PARTITION BY doc_id, t1 ORDER BY p) AS l
+        |             FROM covers),
+        |scores AS (SELECT doc_id, sum((2.0/invsum)*2/(q - p)/(l*l)/1.64493406685) AS score
+        |           FROM numbered GROUP BY doc_id),
+        |dists AS (SELECT doc_id, CAST(CAST(1.0 AS REAL)/CAST(score AS REAL) AS DOUBLE) AS d
+        |          FROM scores)
+        |SELECT doc_id, round(d, 4) AS distance
+        |FROM dists ORDER BY d, doc_id LIMIT 10""".stripMargin),
     "ft_addon_topk" -> (ToksCte +
       """SELECT d.doc_id, d.n_chars, CAST(abs(d.n_chars - 600) AS BIGINT) AS dist
         |FROM documents d

@@ -89,7 +89,8 @@ object IndexBuilder {
         */
       attach: Option[String] = None) {
     def hash: String = {
-      val s = s"v3|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}"
+      // v4: code tokenizer emits def-site weight class A; simple_title8 added
+      val s = s"v4|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}"
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -112,11 +113,12 @@ object IndexBuilder {
   def tokenizerFn(name: String): String => Array[Tokenizer.TermOccs] = name match {
     case "simple" => (t: String) => Tokenizer.simple(if (t == null) "" else t)
     case "code" => (t: String) => Tokenizer.code(if (t == null) "" else t)
+    case "simple_title8" => (t: String) => Tokenizer.simpleTitle(if (t == null) "" else t, 8)
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
 
   private def tokenCountFn(name: String): String => Int = name match {
-    case "simple" => (t: String) => Tokenizer.simpleCount(if (t == null) "" else t)
+    case "simple" | "simple_title8" => (t: String) => Tokenizer.simpleCount(if (t == null) "" else t)
     case "code" => (t: String) => Tokenizer.codeCount(if (t == null) "" else t)
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }

@@ -16,10 +16,24 @@ import scala.collection.mutable
   *
   *  - [[Tokenizer.code]]: same runs but camelCase humps are split before
   *    lowercasing (`getFooBar` → get, foo, bar), giving code-corpus recall;
-  *    weight class A (3) for tokens that look like definitions is left to
-  *    callers — the tokenizer itself emits class D (0).
+  *    the token immediately following a definition keyword gets weight
+  *    class A (3) — the setweight('A') pattern applied at definition sites
+  *    (reference exercises weighted lexemes in expected/rum.out:363-367 and
+  *    weights[] src/rum_ts_utils.c:128).
+  *
+  * A third variant, [[Tokenizer.simpleTitle]], is [[Tokenizer.simple]]
+  * with the leading tokens classed A — the classic
+  * `setweight(to_tsvector(title),'A') || to_tsvector(body)` layout,
+  * SQL-reproducible as `pos <= titleLen`.
   */
 object Tokenizer {
+
+  /** Definition keywords across common languages; the next token is the
+    * defined identifier and gets weight class A.
+    */
+  val DefKeywords: Set[String] = Set(
+    "def", "fn", "func", "function", "class", "struct", "object",
+    "val", "var", "let", "const", "type", "trait", "interface", "enum")
 
   final case class TermOccs(term: String, positions: Array[Int], wclasses: Array[Byte]) {
     def tf: Int = positions.length
@@ -94,7 +108,26 @@ object Tokenizer {
   }
 
   def simple(text: String): Array[TermOccs] = occurrences(simpleTokens(text))
-  def code(text: String): Array[TermOccs] = occurrences(codeTokens(text))
+
+  /** Code tokens with def-site weighting: class A for the token following
+    * a [[DefKeywords]] member, class D otherwise.
+    */
+  def code(text: String): Array[TermOccs] = {
+    val toks = codeTokens(text)
+    val w = new Array[Byte](toks.length)
+    var i = 1
+    while (i < toks.length) {
+      if (DefKeywords.contains(toks(i - 1))) w(i) = 3
+      i += 1
+    }
+    occurrences(toks, (_, pos) => w(pos - 1))
+  }
+
+  /** Simple tokens with title weighting: positions 1..titleLen are class A,
+    * the rest class D.
+    */
+  def simpleTitle(text: String, titleLen: Int): Array[TermOccs] =
+    occurrences(simpleTokens(text), (_, pos) => if (pos <= titleLen) 3 else 0)
 
   /** Token count without allocating token strings — used by the doc-length
     * pass of the index build (GC-friendly at scale).

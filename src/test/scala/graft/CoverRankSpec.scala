@@ -64,6 +64,28 @@ class CoverRankSpec extends AnyFunSuite {
     assert(approx(d, 1.64493406685f))
   }
 
+  test("weighted phrase anchor: 2.05617 (expected/rum.out:363-367)") {
+    // 'stroustrup:5508B,6233B,6238B bjarn:6235B,6237B' <=> 'bjarn <-> stroustrup'
+    // one cover [6237,6238], both class B (invWeight 2.5): InvSum=5,
+    // Cpos=(2/5)*2=0.8, noise=0 → score 0.8/zeta2 → distance 2.05617
+    val cq = CompiledQuery.compile(TsQueryParser.parse("bjarn <-> stroustrup"))
+    val pos = Map("bjarn" -> Array(6235, 6237), "stroustrup" -> Array(5508, 6233, 6238))
+    val kp = cq.keys.map(k => pos(k.term))
+    val kw = kp.map(p => Array.fill[Byte](p.length)(2)) // B = 2
+    val d = CoverRank.distance(cq, kp, kw)
+    assert(approx(d, 2.05617f), s"got $d")
+  }
+
+  test("mixed A/D adjacent cover: distance zeta2*11/4") {
+    // endpoints class A (inv 1) + class D (inv 10): InvSum=11,
+    // Cpos=(2/11)*2, noise=0 → distance = zeta2 * 11/4 = 4.52357
+    val cq = CompiledQuery.compile(TsQueryParser.parse("aa & bb"))
+    val kp = cq.keys.map(k => if (k.term == "aa") Array(4) else Array(5))
+    val kw = cq.keys.map(k => Array[Byte](if (k.term == "aa") 3 else 0))
+    val d = CoverRank.distance(cq, kp, kw)
+    assert(approx(d, (1.64493406685 * 11 / 4).toFloat), s"got $d")
+  }
+
   test("phrase query ranking: def <-> fgr") {
     val d = Map("def" -> Array(4), "fgr" -> Array(5))
     val dd = dist("def <-> fgr", d)
