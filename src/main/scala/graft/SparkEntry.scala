@@ -58,11 +58,13 @@ object SparkEntry {
   /** Per-(sfDir, tokenizer) index over documents, built once per JVM. */
   private object IndexCache {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    private def of(s: SparkSession, sfDir: String, tokenizer: String): Searcher = {
-      val idxDir = cache.computeIfAbsent(s"$sfDir#$tokenizer", _ => {
+    private def of(s: SparkSession, sfDir: String, tokenizer: String,
+                   keyKind: String = "text"): Searcher = {
+      val idxDir = cache.computeIfAbsent(s"$sfDir#$tokenizer#$keyKind", _ => {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
         IndexBuilder.build(s, documents(s, sfDir), "doc_id", "text", dir,
-          IndexBuilder.Params(nShards = 8, tokenizer = tokenizer, attach = Some("n_chars")))
+          IndexBuilder.Params(nShards = 8, tokenizer = tokenizer,
+            attach = Some("n_chars"), keyKind = keyKind))
         dir
       })
       new Searcher(s, idxDir)
@@ -70,6 +72,8 @@ object SparkEntry {
     def searcher(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple")
     /** title-weighted variant: first 8 tokens carry class A. */
     def searcherW(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple_title8")
+    /** hash-keyed variant (rum_tsvector_hash_ops). */
+    def searcherH(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple", "hash")
   }
 
   private def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
@@ -195,6 +199,22 @@ object SparkEntry {
         .withColumn("distance", round(col("distance"), 4))
         .select(col("docId").as("doc_id"), col("distance"))
         .orderBy("distance", "doc_id")
+    }),
+    "ft_hash_count" -> ((s, dir) => {
+      // hash-keyed opclass: same boolean semantics over 64-bit hashed
+      // entry keys (rum_tsvector_hash_ops, expected/rum_hash.out)
+      val r = IndexCache.searcherH(s, dir).count("order & merge & !stream")
+      s.range(1).select(lit(r).as("cnt"))
+    }),
+    "ft_hash_topk" -> ((s, dir) => {
+      // BM25 over hashed keys — stats/pushdown all operate on hashes
+      IndexCache.searcherH(s, dir).topKBm25(Seq("merge", "window", "vector"), 20)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("docId"))
+        .limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("docId"))))
+        .select(col("docId").as("doc_id"), col("score"), col("rank"))
     }),
     "ft_weighted_count" -> ((s, dir) => {
       // weight-masked match: docs where 'merge' occurs with class A
@@ -507,6 +527,28 @@ object SparkEntry {
         |SELECT doc_id, round(d, 4) AS distance
         |FROM dists ORDER BY d, doc_id LIMIT 10""".stripMargin),
     "ft_topk_bm25" -> (ToksCte +
+      """,
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1,2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |           (SELECT count(*) FROM toks)*1.0/(SELECT count(*) FROM documents) AS avgl),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1+(n-df+0.5)/(df+0.5)) * (tf*2.2)/(tf+1.2*(0.25+0.75*len/avgl))),4) AS score
+        |  FROM tf JOIN df USING(term) JOIN lens ON lens.doc_id=tf.doc_id CROSS JOIN consts
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    "ft_hash_count" -> (ToksCte +
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT doc_id FROM toks WHERE term='order'
+        |  INTERSECT SELECT doc_id FROM toks WHERE term='merge'
+        |  EXCEPT SELECT doc_id FROM toks WHERE term='stream') x""".stripMargin),
+    "ft_hash_topk" -> (ToksCte +
       """,
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
         |       WHERE term IN ('merge','window','vector') GROUP BY 1,2),

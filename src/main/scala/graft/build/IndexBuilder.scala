@@ -87,10 +87,15 @@ object IndexBuilder {
         * `WITH (attach='d', to='t')` (src/ruminsert.c:505-515); must be
         * castable to long (timestamps: pass epoch micros)
         */
-      attach: Option[String] = None) {
+      attach: Option[String] = None,
+      /** "text" = raw term keys; "hash" = 64-bit FNV-1a hex keys (the
+        * rum_tsvector_hash_ops variant — no prefix search, see
+        * [[graft.core.HashKeys]])
+        */
+      keyKind: String = "text") {
     def hash: String = {
       // v4: code tokenizer emits def-site weight class A; simple_title8 added
-      val s = s"v4|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}"
+      val s = s"v4|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}|$keyKind"
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -100,7 +105,8 @@ object IndexBuilder {
   def paramsOf(meta: IndexMeta): Params = Params(
     nShards = meta.nShards, blockSize = meta.blockSize,
     maxPostingsPerChunk = meta.maxPostingsPerChunk, tokenizer = meta.tokenizer,
-    attach = if (meta.attachCol.isEmpty) None else Some(meta.attachCol))
+    attach = if (meta.attachCol.isEmpty) None else Some(meta.attachCol),
+    keyKind = meta.keyKind)
 
   private def deleteRecursively(path: String): Unit = {
     val f = new java.io.File(path)
@@ -136,6 +142,7 @@ object IndexBuilder {
   /** tokenize+explode a normalized slice into posting tuples. */
   private def explodedOf(todo: DataFrame, params: Params): DataFrame = {
     val tokName = params.tokenizer
+    val hashKeys = params.keyKind == "hash"
     val tokUdf = udf { (text: String) =>
       val occs = tokenizerFn(tokName)(text)
       var len = 0
@@ -143,7 +150,8 @@ object IndexBuilder {
       while (i < occs.length) { len += occs(i).tf; i += 1 }
       occs.map { o =>
         val (cp, cw) = PositionCodec.cap(o.positions, o.wclasses)
-        TermEntry(o.term, o.tf, len, PositionCodec.encode(cp, cw))
+        val key = if (hashKeys) graft.core.HashKeys.hex(o.term) else o.term
+        TermEntry(key, o.tf, len, PositionCodec.encode(cp, cw))
       }
     }
     todo
@@ -343,7 +351,8 @@ object IndexBuilder {
       inputLineage = lineage,
       paramsHash = params.hash,
       shards = shardsMeta.sortBy(_.shard),
-      lastBatchId = lastBatchId)
+      lastBatchId = lastBatchId,
+      keyKind = params.keyKind)
     SegmentCatalog.save(indexDir, meta)
     meta
   }

@@ -36,7 +36,9 @@ final case class IndexMeta(
       * the same atomic manifest move as the data it covers, so a replayed
       * foreachBatch can skip already-applied batches (exactly-once guard)
       */
-    lastBatchId: Long = -1L) {
+    lastBatchId: Long = -1L,
+    /** "text" | "hash" — see [[graft.core.HashKeys]] */
+    keyKind: String = "text") {
   def committedShards: Set[Int] = shards.map(_.shard).toSet
   def isComplete: Boolean = committedShards.size == nShards
 }
@@ -71,6 +73,7 @@ object SegmentCatalog {
     sb.append(s"inputLineage=${meta.inputLineage.replace("\n", " ")}\n")
     sb.append(s"paramsHash=${meta.paramsHash}\n")
     sb.append(s"lastBatchId=${meta.lastBatchId}\n")
+    sb.append(s"keyKind=${meta.keyKind}\n")
     meta.shards.sortBy(_.shard).foreach { s =>
       sb.append(s"shard=${s.shard},${s.terms},${s.chunkRows},${s.postings},${s.buildMs},${s.committedAtMs}\n")
     }
@@ -114,6 +117,7 @@ object SegmentCatalog {
       inputLineage = kv.getOrElse("inputLineage", ""),
       paramsHash = kv("paramsHash"),
       shards = shards.toList,
-      lastBatchId = kv.getOrElse("lastBatchId", "-1").toLong))
+      lastBatchId = kv.getOrElse("lastBatchId", "-1").toLong,
+      keyKind = kv.getOrElse("keyKind", "text")))
   }
 }

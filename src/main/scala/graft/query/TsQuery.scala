@@ -38,24 +38,17 @@ object TsQuery {
   def distinctTerms(q: TsQuery): Array[String] =
     operands(q).map(_.term).distinct
 
-  /** Operands that must be present for a match — conservative preConsistent
-    * analogue (reference: src/rum_ts_utils.c:165-197
-    * rum_tsquery_pre_consistent treats phrase as AND and NOT-subtrees as
-    * always-satisfiable).
+  /** Rewrite every lexeme term (hash-key query extraction,
+    * reference src/rum_ts_utils.c:698-787 rum_extract_tsquery_hash).
     */
-  def requiredTerms(q: TsQuery): Array[String] = {
-    def go(n: TsQuery): Set[String] = n match {
-      case Lexeme(t, false, _) => Set(t)
-      case Lexeme(_, true, _) => Set.empty // prefix expands to many terms
-      case And(a, b) => go(a) ++ go(b)
-      case Phrase(_, a, b) => go(a) ++ go(b)
-      case Or(a, b) =>
-        val (ga, gb) = (go(a), go(b))
-        if (ga.isEmpty || gb.isEmpty) Set.empty else Set.empty // OR: none individually required
-      case Not(_) => Set.empty
-    }
-    go(q).toArray
+  def mapTerms(q: TsQuery, f: String => String): TsQuery = q match {
+    case Lexeme(t, p, w) => Lexeme(f(t), p, w)
+    case And(a, b) => And(mapTerms(a, f), mapTerms(b, f))
+    case Or(a, b) => Or(mapTerms(a, f), mapTerms(b, f))
+    case Not(x) => Not(mapTerms(x, f))
+    case Phrase(d, a, b) => Phrase(d, mapTerms(a, f), mapTerms(b, f))
   }
+
 }
 
 /** Parser for PostgreSQL tsquery syntax:

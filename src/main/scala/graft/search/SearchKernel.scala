@@ -35,6 +35,27 @@ object SearchKernel extends Serializable {
     pos.toArray.sorted
   }
 
+  /** Key indexes that must be present in every matching doc — the
+    * preConsistent analogue (reference: src/rum_ts_utils.c:165-197
+    * rum_tsquery_pre_consistent; fast-scan driver src/rumget.c:1900-2017):
+    * AND/phrase require both sides, OR requires the keys common to both
+    * sides, NOT-subtrees require nothing. Weight masks don't narrow
+    * requiredness (a masked leaf still needs its term present). Candidates
+    * can then be driven from the seek-join intersection of these streams
+    * instead of the union of all positive keys.
+    */
+  def requiredKeys(cq: CompiledQuery): Array[Int] = {
+    import CompiledQuery._
+    def go(n: CNode): Set[Int] = n match {
+      case CLeaf(_, k, _, _) => Set(k)
+      case CAnd(a, b) => go(a) ++ go(b)
+      case CPhrase(_, a, b) => go(a) ++ go(b)
+      case COr(a, b) => go(a).intersect(go(b))
+      case CNot(_) => Set.empty
+    }
+    go(cq.root).toArray.sorted
+  }
+
   private val emptyProvider = new TsEval.Provider {
     def positions(k: Int): Array[Int] = null
     def wclasses(k: Int): Array[Byte] = null
@@ -296,8 +317,16 @@ object SearchKernel extends Serializable {
   def matchShard(cq: CompiledQuery, keys: Array[KeySpec], rows: Iterator[PostingRow],
                  score: Boolean, k: Int): Iterator[(Long, Double, Long)] = {
     val cursors = buildCursors(keys, rows)
-    val candIdx = positiveKeys(cq)
-    driver(cq, cursors, candidateStream(cursors, candIdx), score, matchOnly = true, k)
+    // fast scan: when some keys are required in every match, candidates
+    // come from their seek-join intersection (far fewer consistency checks
+    // than the union — and a required term absent from the shard yields
+    // zero candidates without touching the other streams); pure-OR queries
+    // fall back to the positive-key union
+    val reqIdx = requiredKeys(cq)
+    val cands =
+      if (reqIdx.nonEmpty) intersectionStream(cursors, reqIdx)
+      else candidateStream(cursors, positiveKeys(cq))
+    driver(cq, cursors, cands, score, matchOnly = true, k)
   }
 
   /** Full-corpus scan driver (scanGetItemFull, src/rumget.c:2024-2083):
@@ -330,6 +359,36 @@ object SearchKernel extends Serializable {
           if (!c.done && c.docId < nextCand) nextCand = c.docId
           i += 1
         }
+      }
+      def hasNext: Boolean = { advance(); nextCand != Long.MaxValue }
+      def next(): Long = { advance(); last = nextCand; nextCand }
+    }
+
+  /** Candidate docIds = seek-join (leapfrog) intersection of the required
+    * key streams: repeatedly seek every required cursor to the current
+    * maximum until they agree. Like [[candidateStream]], emitted candidates
+    * ascend and each cursor is left positioned AT the candidate, so the
+    * driver's per-candidate re-seek of all cursors stays a no-op for these.
+    */
+  private def intersectionStream(cursors: Array[KeyCursor], reqIdx: Array[Int]): Iterator[Long] =
+    new Iterator[Long] {
+      private var nextCand = Long.MaxValue
+      private var last = Long.MinValue
+      private def advance(): Unit = {
+        var target = if (last == Long.MinValue) Long.MinValue else last + 1
+        var settled = false
+        while (!settled) {
+          settled = true
+          var i = 0
+          while (i < reqIdx.length) {
+            val c = cursors(reqIdx(i))
+            if (!c.done && c.docId < target) c.seek(target)
+            if (c.done) { nextCand = Long.MaxValue; return }
+            if (c.docId > target) { target = c.docId; settled = false }
+            i += 1
+          }
+        }
+        nextCand = target
       }
       def hasNext: Boolean = { advance(); nextCand != Long.MaxValue }
       def next(): Long = { advance(); last = nextCand; nextCand }

@@ -56,8 +56,23 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     preds.reduceOption(_ || _).getOrElse(lit(false))
   }
 
-  def compile(queryStr: String): CompiledQuery =
-    CompiledQuery.compile(TsQueryParser.parse(queryStr))
+  /** identity for text keys; FNV-1a hex for hash-keyed indexes
+    * (rum_extract_tsquery_hash, src/rum_ts_utils.c:757-787).
+    */
+  private def keyOf(term: String): String =
+    if (meta.keyKind == "hash") graft.core.HashKeys.hex(term) else term
+
+  def compile(queryStr: String): CompiledQuery = {
+    val q = TsQueryParser.parse(queryStr)
+    if (meta.keyKind == "hash") {
+      // mirror the reference: hash keys cannot serve range/partial match
+      // ("Compare with prefix expressions isn't supported",
+      // expected/rum_hash.out:310)
+      require(TsQuery.operands(q).forall(!_.prefix),
+        "prefix search isn't supported with hash keys")
+      CompiledQuery.compile(TsQuery.mapTerms(q, graft.core.HashKeys.hex))
+    } else CompiledQuery.compile(q)
+  }
 
   /** docIds matching the query (the bitmap-scan sink, rumgetbitmap —
     * src/rumget.c:2105-2145). Unordered.
@@ -147,7 +162,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * and doc length carried in the posting payload (addon-column pattern).
     */
   def topKBm25(terms: Seq[String], k: Int): DataFrame = {
-    val distinct = terms.distinct
+    val distinct = terms.distinct.map(keyOf)
     val statRows = statsDF
       .where(col("term").isin(distinct: _*))
       .select("term", "df", "maxTf").collect()
@@ -176,7 +191,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * block for joins back to the corpus.
     */
   def termPostings(term: String): DataFrame = {
-    postings.where(col("term") === term)
+    postings.where(col("term") === keyOf(term))
       .flatMap { row =>
         val cur = new PostingCursor(Iterator(row.blocks))
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
@@ -185,9 +200,11 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       }.toDF("doc_id", "tf")
   }
 
-  /** Global per-term document frequencies from the stats table. */
+  /** Global per-term document frequencies from the stats table. In hash
+    * mode the output `term` column carries the hashed key.
+    */
   def termStats(terms: Seq[String]): DataFrame =
-    statsDF.where(col("term").isin(terms: _*))
+    statsDF.where(col("term").isin(terms.map(keyOf): _*))
       .select(col("term"), col("df"))
 
   /** Doc length table (token counts). */
