@@ -64,7 +64,8 @@ object SparkEntry {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
         IndexBuilder.build(s, documents(s, sfDir), "doc_id", "text", dir,
           IndexBuilder.Params(nShards = 8, tokenizer = tokenizer,
-            attach = Some("n_chars"), keyKind = keyKind))
+            attach = Some("n_chars"), keyKind = keyKind,
+            altOrder = tokenizer == "simple" && keyKind == "text"))
         dir
       })
       new Searcher(s, idxDir)
@@ -245,8 +246,9 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), col("addon").as("n_chars"))
     }),
     "ft_addon_range" -> ((s, dir) => {
-      IndexCache.searcher(s, dir).matchingWithAddon("merge & window")
-        .where(col("addon") >= 400L && col("addon") <= 700L)
+      // served from the (addon, docId)-ordered layout: bounded stream
+      // [400, 700], cost tracks the in-range match count
+      IndexCache.searcher(s, dir).rangeAddon("merge & window", 400L, 700L)
         .select(col("docId").as("doc_id"), col("addon").as("n_chars"))
         .orderBy("n_chars", "doc_id")
     }),

@@ -92,10 +92,17 @@ object IndexBuilder {
         * rum_tsvector_hash_ops variant — no prefix search, see
         * [[graft.core.HashKeys]])
         */
-      keyKind: String = "text") {
+      keyKind: String = "text",
+      /** also maintain the (addon, docId)-ordered posting copy — RUM's
+        * order_by_attach layout (src/rumdatapage.c:327-360) serving
+        * `ORDER BY addon <op> c LIMIT k` with early termination
+        * ([[graft.search.AltKernel]]); requires `attach` and non-negative
+        * addon values
+        */
+      altOrder: Boolean = false) {
     def hash: String = {
       // v4: code tokenizer emits def-site weight class A; simple_title8 added
-      val s = s"v4|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}|$keyKind"
+      val s = s"v4|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}|$keyKind|$altOrder"
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -106,7 +113,7 @@ object IndexBuilder {
     nShards = meta.nShards, blockSize = meta.blockSize,
     maxPostingsPerChunk = meta.maxPostingsPerChunk, tokenizer = meta.tokenizer,
     attach = if (meta.attachCol.isEmpty) None else Some(meta.attachCol),
-    keyKind = meta.keyKind)
+    keyKind = meta.keyKind, altOrder = meta.altOrder)
 
   private def deleteRecursively(path: String): Unit = {
     val f = new java.io.File(path)
@@ -178,24 +185,34 @@ object IndexBuilder {
     * corpus packs byte-identical chunks (rebuild/resume determinism).
     */
   private def packDataset(spark: SparkSession, exploded: DataFrame,
-                          params: Params): Dataset[PostingRow] = {
+                          params: Params, alt: Boolean = false): Dataset[PostingRow] = {
     import spark.implicits._
     val blockSize = params.blockSize
     val maxChunk = params.maxPostingsPerChunk
     val p = if (params.numPartitions > 0) params.numPartitions
             else spark.sessionState.conf.numShufflePartitions
 
+    // alt layout: the block key slot holds the addon (non-decreasing, ties
+    // = equal addons) and the addon slot holds the docId — the same
+    // dataflow with the sort key flipped to (addon, docId)
+    val sorted =
+      if (alt)
+        exploded.sortWithinPartitions("shard", "term", "addon", "docId")
+          .select("shard", "term", "addon", "tf", "len", "pos", "docId")
+      else
+        exploded.sortWithinPartitions("shard", "term", "docId")
+          .select("shard", "term", "docId", "tf", "len", "pos", "addon")
+
     // ---- stage A: map-side sorted-run pack (no shuffle) ----
-    val runs: Dataset[RunRow] = exploded
-      .select("shard", "term", "docId", "tf", "len", "pos", "addon") // fixed order for the tuple encoder
-      .sortWithinPartitions("shard", "term", "docId")
+    val runs: Dataset[RunRow] = sorted
       .as[(Int, String, Long, Int, Int, Array[Byte], Long)]
       .mapPartitions { it =>
         new Iterator[RunRow] {
           private var pending: List[RunRow] = Nil
           private var cur: (Int, String) = null
           private var builder: PostingListBuilder = null
-          private var lastDoc = Long.MinValue
+          private var lastKey = Long.MinValue
+          private var lastSub = Long.MinValue
 
           private def closeRun(): Unit = {
             if (builder != null && builder.totalDocs > 0) {
@@ -203,20 +220,22 @@ object IndexBuilder {
               pending ::= RunRow(cur._1, cur._2, blocks.head.firstDoc,
                 blocks.map(_.n.toLong).sum, blocks.map(_.maxTf).max, blocks)
             }
-            builder = new PostingListBuilder(blockSize)
+            builder = new PostingListBuilder(blockSize, allowTies = alt)
           }
 
           private def fill(): Unit = {
             while (pending.isEmpty && it.hasNext) {
-              val (shard, term, docId, tf, len, pos, addon) = it.next()
+              val (shard, term, key, tf, len, pos, sub) = it.next()
               if (cur == null || cur._1 != shard || cur._2 != term) {
                 closeRun()
                 cur = (shard, term)
-                lastDoc = Long.MinValue
+                lastKey = Long.MinValue
+                lastSub = Long.MinValue
               }
-              if (docId != lastDoc) { // in-partition dedup (keep first)
-                builder.add(docId, tf, len, pos, addon)
-                lastDoc = docId
+              if (key != lastKey || sub != lastSub) { // composite dedup (keep first)
+                builder.add(key, tf, len, pos, sub)
+                lastKey = key
+                lastSub = sub
               }
             }
             if (pending.isEmpty && !it.hasNext && builder != null && builder.totalDocs > 0)
@@ -232,12 +251,12 @@ object IndexBuilder {
     runs
       .repartition(p, col("shard"), col("term"))
       .sortWithinPartitions("shard", "term", "firstDoc")
-      .mapPartitions(it => mergeCells(it, blockSize, maxChunk))
+      .mapPartitions(it => mergeCells(it, blockSize, maxChunk, alt))
   }
 
   /** Merge consecutive same-(shard,term) runs into canonical chunk rows. */
   private def mergeCells(it: Iterator[RunRow], blockSize: Int,
-                         maxChunk: Int): Iterator[PostingRow] = {
+                         maxChunk: Int, alt: Boolean = false): Iterator[PostingRow] = {
     val runsIt = it.buffered
     new Iterator[PostingRow] {
       private var pending: List[PostingRow] = Nil
@@ -248,12 +267,14 @@ object IndexBuilder {
           val r = runs.head
           return List(PostingRow(shard, term, 0, r.ndocs, r.maxTf, r.blocks))
         }
-        // k-way merge: min docId across cursors; ties keep the earliest run
-        // in (firstDoc, arrival) order and skip the rest (dedup keep-first)
+        // k-way merge: min key across cursors (alt: min (key, sub)
+        // composite); ties keep the earliest run in (firstDoc, arrival)
+        // order and skip the rest (dedup keep-first; primary dedups on
+        // docId alone — equal docIds are re-inserts of the same doc)
         val cursors = runs.map(r => new PostingCursor(Iterator(r.blocks))).toArray
         val out = scala.collection.mutable.ListBuffer.empty[PostingRow]
         var chunkIdx = 0
-        var builder = new PostingListBuilder(blockSize)
+        var builder = new PostingListBuilder(blockSize, allowTies = alt)
         var nInChunk = 0
         def flushChunk(): Unit = {
           if (builder.totalDocs > 0) {
@@ -262,24 +283,30 @@ object IndexBuilder {
               blocks.map(_.n.toLong).sum, blocks.map(_.maxTf).max, blocks)
             chunkIdx += 1
           }
-          builder = new PostingListBuilder(blockSize)
+          builder = new PostingListBuilder(blockSize, allowTies = alt)
           nInChunk = 0
         }
-        var lastDoc = Long.MinValue
+        var lastKey = Long.MinValue
+        var lastSub = Long.MinValue
         while (cursors.exists(!_.done)) {
           var minIdx = -1
-          var minDoc = Long.MaxValue
+          var minKey = Long.MaxValue
+          var minSub = Long.MaxValue
           var i = 0
           while (i < cursors.length) {
-            if (!cursors(i).done && cursors(i).docId < minDoc) {
-              minDoc = cursors(i).docId; minIdx = i
+            val cu = cursors(i)
+            if (!cu.done && (cu.docId < minKey ||
+                (alt && cu.docId == minKey && cu.addon < minSub))) {
+              minKey = cu.docId; minSub = cu.addon; minIdx = i
             }
             i += 1
           }
           val c = cursors(minIdx)
-          if (minDoc != lastDoc) {
-            builder.add(minDoc, c.tf, c.docLen, c.rawPositions, c.addon)
-            lastDoc = minDoc
+          val dup = if (alt) minKey == lastKey && c.addon == lastSub else minKey == lastKey
+          if (!dup) {
+            builder.add(minKey, c.tf, c.docLen, c.rawPositions, c.addon)
+            lastKey = minKey
+            lastSub = c.addon
             nInChunk += 1
             if (nInChunk >= maxChunk) flushChunk()
           }
@@ -352,7 +379,8 @@ object IndexBuilder {
       paramsHash = params.hash,
       shards = shardsMeta.sortBy(_.shard),
       lastBatchId = lastBatchId,
-      keyKind = params.keyKind)
+      keyKind = params.keyKind,
+      altOrder = params.altOrder)
     SegmentCatalog.save(indexDir, meta)
     meta
   }
@@ -381,19 +409,27 @@ object IndexBuilder {
     // Iceberg-snapshot style).
     if (!resume) {
       deleteRecursively(SegmentCatalog.postingsDir(indexDir))
+      deleteRecursively(SegmentCatalog.altDir(indexDir))
       deleteRecursively(SegmentCatalog.docsDir(indexDir))
       deleteRecursively(SegmentCatalog.statsDir(indexDir))
     } else {
       remaining.foreach { s =>
         deleteRecursively(s"${SegmentCatalog.postingsDir(indexDir)}/shard=$s")
+        deleteRecursively(s"${SegmentCatalog.altDir(indexDir)}/shard=$s")
         deleteRecursively(s"${SegmentCatalog.docsDir(indexDir)}/shard=$s")
       }
     }
 
     if (remaining.nonEmpty) {
-      packDataset(spark, explodedOf(todo, params), params)
+      val exploded = explodedOf(todo, params)
+      packDataset(spark, exploded, params)
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.postingsDir(indexDir))
+
+      if (params.altOrder)
+        packDataset(spark, exploded, params, alt = true)
+          .write.mode("append").partitionBy("shard")
+          .parquet(SegmentCatalog.altDir(indexDir))
 
       // docs table: a second narrow pass (count-only, allocation-free
       // tokenize) — no shuffle; trades a little CPU for zero extra I/O
@@ -424,6 +460,10 @@ object IndexBuilder {
     packDataset(spark, explodedOf(todo, params), params)
       .write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.postingsDir(indexDir))
+    if (params.altOrder)
+      packDataset(spark, explodedOf(todo, params), params, alt = true)
+        .write.mode("append").partitionBy("shard")
+        .parquet(SegmentCatalog.altDir(indexDir))
     val cntUdf = udf(tokenCountFn(params.tokenizer))
     todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"), col("addon"))
       .write.mode("append").partitionBy("shard")
@@ -479,6 +519,13 @@ object IndexBuilder {
     packDataset(spark, kept, params)
       .write.mode("overwrite").partitionBy("shard").parquet(tmpPost)
 
+    val tmpAlt = SegmentCatalog.altDir(indexDir) + ".tmp"
+    if (params.altOrder) {
+      deleteRecursively(tmpAlt)
+      packDataset(spark, kept, params, alt = true)
+        .write.mode("overwrite").partitionBy("shard").parquet(tmpAlt)
+    }
+
     val tmpDocs = SegmentCatalog.docsDir(indexDir) + ".tmp"
     deleteRecursively(tmpDocs)
     val docs = spark.read.parquet(SegmentCatalog.docsDir(indexDir))
@@ -495,6 +542,10 @@ object IndexBuilder {
     deleteRecursively(SegmentCatalog.docsDir(indexDir))
     new java.io.File(tmpPost).renameTo(new java.io.File(SegmentCatalog.postingsDir(indexDir)))
     new java.io.File(tmpDocs).renameTo(new java.io.File(SegmentCatalog.docsDir(indexDir)))
+    if (params.altOrder) {
+      deleteRecursively(SegmentCatalog.altDir(indexDir))
+      new java.io.File(tmpAlt).renameTo(new java.io.File(SegmentCatalog.altDir(indexDir)))
+    }
 
     val buildMs = System.currentTimeMillis() - t0
     refresh(spark, indexDir, params, buildMs, s"compact(exclude=${exclude.isDefined})",

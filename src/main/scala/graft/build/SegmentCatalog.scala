@@ -38,7 +38,9 @@ final case class IndexMeta(
       */
     lastBatchId: Long = -1L,
     /** "text" | "hash" — see [[graft.core.HashKeys]] */
-    keyKind: String = "text") {
+    keyKind: String = "text",
+    /** (addon, docId)-ordered posting copy present (order_by_attach) */
+    altOrder: Boolean = false) {
   def committedShards: Set[Int] = shards.map(_.shard).toSet
   def isComplete: Boolean = committedShards.size == nShards
 }
@@ -56,6 +58,7 @@ object SegmentCatalog {
   private def metaPath(indexDir: String): Path = Paths.get(indexDir, "_meta", "manifest.txt")
 
   def postingsDir(indexDir: String): String = s"$indexDir/postings"
+  def altDir(indexDir: String): String = s"$indexDir/postings_alt"
   def docsDir(indexDir: String): String = s"$indexDir/docs"
   def statsDir(indexDir: String): String = s"$indexDir/stats"
 
@@ -74,6 +77,7 @@ object SegmentCatalog {
     sb.append(s"paramsHash=${meta.paramsHash}\n")
     sb.append(s"lastBatchId=${meta.lastBatchId}\n")
     sb.append(s"keyKind=${meta.keyKind}\n")
+    sb.append(s"altOrder=${meta.altOrder}\n")
     meta.shards.sortBy(_.shard).foreach { s =>
       sb.append(s"shard=${s.shard},${s.terms},${s.chunkRows},${s.postings},${s.buildMs},${s.committedAtMs}\n")
     }
@@ -118,6 +122,7 @@ object SegmentCatalog {
       paramsHash = kv("paramsHash"),
       shards = shards.toList,
       lastBatchId = kv.getOrElse("lastBatchId", "-1").toLong,
-      keyKind = kv.getOrElse("keyKind", "text")))
+      keyKind = kv.getOrElse("keyKind", "text"),
+      altOrder = kv.getOrElse("altOrder", "false").toBoolean))
   }
 }

@@ -47,8 +47,14 @@ object PostingBlock {
   * docId order and packs [[PostingBlock]]s. Mirrors RUM's build-time list
   * packing (src/ruminsert.c:112-239 RumFormTuple) with a fixed posting
   * budget per block instead of a page-byte budget.
+  *
+  * With `allowTies=true` the key slot may repeat — used by the
+  * alternative-order layout (reference: order_by_attach posting order
+  * (addInfo, docId), src/rumdatapage.c:327-360), where the key slot holds
+  * the addon value (ties = equal addons) and the addon slot holds docIds.
   */
-final class PostingListBuilder(blockSize: Int = PostingBlock.DefaultSize) {
+final class PostingListBuilder(blockSize: Int = PostingBlock.DefaultSize,
+                               allowTies: Boolean = false) {
   private val blocks = ArrayBuffer.empty[PostingBlock]
   private var docIds = new ArrayBuffer[Long](blockSize)
   private var tfs = new ArrayBuffer[Int](blockSize)
@@ -59,8 +65,9 @@ final class PostingListBuilder(blockSize: Int = PostingBlock.DefaultSize) {
   var totalDocs: Long = 0L
 
   def add(docId: Long, tf: Int, docLen: Int, positions: Array[Byte], addon: Long = 0L): Unit = {
-    require(docIds.isEmpty || docId > docIds.last,
-      s"docIds must be strictly increasing: $docId after ${docIds.last}")
+    require(docIds.isEmpty || (if (allowTies) docId >= docIds.last else docId > docIds.last),
+      s"keys must be ${if (allowTies) "non-decreasing" else "strictly increasing"}: " +
+        s"$docId after ${docIds.last}")
     docIds += docId
     tfs += tf
     lens += docLen
@@ -79,7 +86,7 @@ final class PostingListBuilder(blockSize: Int = PostingBlock.DefaultSize) {
         lastDoc = docIds.last,
         n = docIds.length,
         maxTf = maxTf,
-        docs = VarByte.encodeDeltas(docIds.toArray),
+        docs = VarByte.encodeDeltas(docIds.toArray, allowTies = allowTies),
         tfs = VarByte.encodeUInts(tfs.toArray),
         lens = VarByte.encodeUInts(lens.toArray),
         addons = { val o = new java.io.ByteArrayOutputStream()
@@ -231,4 +238,53 @@ final class PostingCursor(blockArrays: Iterator[Array[PostingBlock]]) {
 object PostingCursor {
   /** Header fields of one posting block (see [[PostingCursor.peekBlock]]). */
   final case class BlockInfo(maxTf: Int, lastDoc: Long)
+}
+
+/** Whole-block decode for the alternative-order query path (forward AND
+  * backward iteration need random access within a block; the primary path
+  * keeps streaming via [[PostingCursor]]).
+  */
+object PostingBlocks {
+  final case class Decoded(
+      keys: Array[Long],    // the block's sort-key slot (docId, or addon in alt layout)
+      subs: Array[Long],    // the addon slot (addon, or docId in alt layout)
+      tfs: Array[Int],
+      lens: Array[Int],
+      possOff: Array[Int],
+      possLen: Array[Int],
+      poss: Array[Byte]) {
+    def n: Int = keys.length
+    def positionsAt(i: Int): (Array[Int], Array[Byte]) = {
+      val len = possLen(i)
+      if (len == 0) (Array.emptyIntArray, Array.emptyByteArray)
+      else PositionCodec.decode(
+        java.util.Arrays.copyOfRange(poss, possOff(i), possOff(i) + len))
+    }
+    def rawPositionsAt(i: Int): Array[Byte] = {
+      val len = possLen(i)
+      if (len == 0) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(poss, possOff(i), possOff(i) + len)
+    }
+  }
+
+  def decode(b: PostingBlock): Decoded = {
+    val keys = VarByte.decodeDeltas(b.docs, b.n)
+    val subs = { val a = new Array[Long](b.n); var p = 0; var j = 0
+      while (j < b.n) { val (v, np) = VarByte.readUInt(b.addons, p); a(j) = v; p = np; j += 1 }
+      a }
+    val tfs = VarByte.decodeUInts(b.tfs, b.n)
+    val lens = VarByte.decodeUInts(b.lens, b.n)
+    val possOff = new Array[Int](b.n)
+    val possLen = new Array[Int](b.n)
+    var p = 0
+    var j = 0
+    while (j < b.n) {
+      val (len, np) = VarByte.readUInt(b.poss, p)
+      possOff(j) = np
+      possLen(j) = len.toInt
+      p = np + len.toInt
+      j += 1
+    }
+    Decoded(keys, subs, tfs, lens, possOff, possLen, b.poss)
+  }
 }

@@ -42,17 +42,20 @@ object VarByte {
     (v, p)
   }
 
-  /** Encode a strictly-increasing (signed order) sequence as first value +
-    * gaps. Gaps may wrap past Long.MaxValue (e.g. MinValue→MaxValue ids);
-    * two's-complement add on decode restores them exactly.
+  /** Encode a non-decreasing (signed order) sequence as first value + gaps
+    * (strictly increasing for docIds; ties allowed for the alt-order key
+    * slot, where equal addons are legal). Gaps may wrap past Long.MaxValue
+    * (e.g. MinValue→MaxValue ids); two's-complement add on decode restores
+    * them exactly.
     */
-  def encodeDeltas(sorted: Array[Long]): Array[Byte] = {
+  def encodeDeltas(sorted: Array[Long], allowTies: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream(sorted.length * 2)
     var prev = 0L
     var i = 0
     while (i < sorted.length) {
       val v = sorted(i)
-      require(i == 0 || v > prev, s"sequence not strictly increasing at $i")
+      require(i == 0 || (if (allowTies) v >= prev else v > prev),
+        s"sequence not ${if (allowTies) "non-decreasing" else "strictly increasing"} at $i")
       writeUInt(out, if (i == 0) v else v - prev)
       prev = v
       i += 1

@@ -1,0 +1,305 @@
+package graft.search
+
+import scala.collection.mutable
+
+import graft.build.PostingRow
+import graft.core.{PostingBlock, PostingBlocks, PostingListBuilder}
+import graft.query.{CompiledQuery, TsEval}
+
+/** Alternative-order scan kernel — RUM's order_by_attach layout where each
+  * posting list is ordered by (addInfo, docId) instead of docId
+  * (reference: src/rumdatapage.c:327-360 compareRumItem on addInfo first;
+  * scan direction handling src/rumscan.c:461-554; ordered gettuple
+  * src/rumget.c:2303-2327), so `WHERE t @@ q ORDER BY d <=> c LIMIT k`
+  * streams matches outward from c and stops after k consistency checks —
+  * cost tracks k, not the match count.
+  *
+  * Block reinterpretation (see [[graft.core.PostingListBuilder]] allowTies):
+  * the key slot holds the addon (ascending, ties = equal addons, docId
+  * ascending within a tie run), the addon slot holds the docId.
+  * Addons must be non-negative (varbyte unsigned order).
+  */
+object AltKernel extends Serializable {
+
+  /** Direction-agnostic cursor over one key's merged alt-order blocks. */
+  private final class AltCur(blocks: Array[PostingBlock], forward: Boolean) {
+    private var bi = if (forward) 0 else blocks.length - 1
+    private var dec: PostingBlocks.Decoded = _
+    private var i = 0
+    var done: Boolean = blocks.isEmpty
+    if (!done) { load(); i = if (forward) 0 else dec.n - 1 }
+
+    private def load(): Unit = dec = PostingBlocks.decode(blocks(bi))
+
+    def key: Long = dec.keys(i)  // addon
+    def sub: Long = dec.subs(i)  // docId
+    def positions: (Array[Int], Array[Byte]) = dec.positionsAt(i)
+
+    def step(): Unit = {
+      if (forward) {
+        i += 1
+        if (i >= dec.n) {
+          bi += 1
+          if (bi >= blocks.length) done = true else { load(); i = 0 }
+        }
+      } else {
+        i -= 1
+        if (i < 0) {
+          bi -= 1
+          if (bi < 0) done = true else { load(); i = dec.n - 1 }
+        }
+      }
+    }
+
+    /** current composite strictly precedes (k, s) in scan direction */
+    def before(k: Long, s: Long): Boolean =
+      if (forward) key < k || (key == k && sub < s)
+      else key > k || (key == k && sub > s)
+
+    def at(k: Long, s: Long): Boolean = !done && key == k && sub == s
+
+    /** advance in scan direction to the first composite >= (k,s)
+      * [forward] / <= (k,s) [backward]; whole blocks skipped via headers.
+      */
+    def stepToward(k: Long, s: Long): Unit = {
+      if (done || !before(k, s)) return
+      if (forward) {
+        if (blocks(bi).lastDoc < k) {
+          while (!done && blocks(bi).lastDoc < k) {
+            bi += 1
+            if (bi >= blocks.length) done = true
+          }
+          if (done) return
+          load(); i = 0
+        }
+        if (dec.keys(i) < k) {
+          var lo = i
+          var hi = dec.n - 1
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (dec.keys(mid) < k) lo = mid + 1 else hi = mid
+          }
+          i = lo
+        }
+        while (!done && before(k, s)) step()
+      } else {
+        if (blocks(bi).firstDoc > k) {
+          while (bi >= 0 && blocks(bi).firstDoc > k) bi -= 1
+          if (bi < 0) { done = true; return }
+          load(); i = dec.n - 1
+        }
+        if (dec.keys(i) > k) {
+          var lo = 0
+          var hi = i
+          while (lo < hi) {
+            val mid = (lo + hi + 1) >>> 1
+            if (dec.keys(mid) > k) hi = mid - 1 else lo = mid
+          }
+          i = lo
+        }
+        while (!done && before(k, s)) step()
+      }
+    }
+  }
+
+  /** rows → per-key single ordered block array. Micro-segment runs from
+    * incremental appends overlap in addon range; they are merge-sorted and
+    * repacked once per (query key, shard) — the query-time analogue of the
+    * primary path's UnionCursor.
+    */
+  private def buildCells(keys: Array[SearchKernel.KeySpec],
+                         rows: Iterator[PostingRow]): Array[Array[PostingBlock]] = {
+    val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingRow]]
+    rows.foreach(r => byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r)
+    def merged(rs: mutable.ArrayBuffer[PostingRow]): Array[PostingBlock] = {
+      val sorted = rs.sortBy(r => (r.blocks.head.firstDoc, r.chunk))
+      // single ascending run (the compacted/bulk-built layout): concatenate
+      val singleRun = sorted.sliding(2).forall {
+        case mutable.ArrayBuffer(a, b) => b.blocks.head.firstDoc > a.blocks.last.lastDoc
+        case _ => true
+      }
+      if (singleRun) sorted.flatMap(_.blocks).toArray
+      else {
+        // overlapping runs → full merge-sort by (addon, docId), repack
+        val all = mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Array[Byte])]
+        sorted.foreach { r =>
+          r.blocks.foreach { b =>
+            val d = PostingBlocks.decode(b)
+            var j = 0
+            while (j < d.n) {
+              all += ((d.keys(j), d.subs(j), d.tfs(j), d.lens(j), d.rawPositionsAt(j)))
+              j += 1
+            }
+          }
+        }
+        val sortedAll = all.sortBy(t => (t._1, t._2))
+        val builder = new PostingListBuilder(allowTies = true)
+        var lastK = Long.MinValue
+        var lastS = Long.MinValue
+        sortedAll.foreach { case (k, s, tf, len, pos) =>
+          if (k != lastK || s != lastS) { // dedup keep-first
+            builder.add(k, tf, len, pos, s)
+            lastK = k; lastS = s
+          }
+        }
+        builder.result()
+      }
+    }
+    keys.map { k =>
+      // prefix keys never reach the alt path (Searcher gates on them)
+      byTerm.get(k.term).map(merged).getOrElse(Array.empty[PostingBlock])
+    }
+  }
+
+  /** Provider over one candidate composite; non-required cursors advance
+    * monotonically in scan direction (candidates are monotone too).
+    */
+  private final class AltProvider(cursors: Array[AltCur]) extends TsEval.Provider {
+    private val cachePos = new Array[Array[Int]](cursors.length)
+    private val cacheW = new Array[Array[Byte]](cursors.length)
+    private val cached = new Array[Boolean](cursors.length)
+    private var a = -1L
+    private var d = -1L
+    def reset(addon: Long, docId: Long): Unit = {
+      a = addon; d = docId
+      java.util.Arrays.fill(cached, false)
+    }
+    private def load(k: Int): Unit = {
+      if (!cached(k)) {
+        val c = cursors(k)
+        c.stepToward(a, d)
+        if (c.at(a, d)) {
+          val (p, w) = c.positions
+          if (p.length == 0) { cachePos(k) = Array(1); cacheW(k) = Array(0.toByte) }
+          else { cachePos(k) = p; cacheW(k) = w }
+        } else { cachePos(k) = null; cacheW(k) = null }
+        cached(k) = true
+      }
+    }
+    def positions(k: Int): Array[Int] = { load(k); cachePos(k) }
+    def wclasses(k: Int): Array[Byte] = { load(k); cacheW(k) }
+  }
+
+  /** Leapfrog the required cursors to their next agreed composite.
+    * Returns false when any stream is exhausted.
+    */
+  private def nextAgreed(req: Array[AltCur]): Boolean = {
+    var settled = false
+    while (!settled) {
+      var i = 0
+      while (i < req.length) { if (req(i).done) return false; i += 1 }
+      val k = req(0).key
+      val s = req(0).sub
+      settled = true
+      i = 1
+      while (i < req.length && settled) {
+        val c = req(i)
+        c.stepToward(k, s)
+        if (c.done) return false
+        if (!(c.key == k && c.sub == s)) {
+          req(0).stepToward(c.key, c.sub)
+          settled = false
+        }
+        i += 1
+      }
+    }
+    true
+  }
+
+  /** Bounded best-k on (distance, docId) — smaller is better. */
+  private final class Heap(k: Int) {
+    private val pq = mutable.PriorityQueue.empty[(Double, Long, Long)](
+      Ordering.by { case (d, id, _) => (d, id) })
+    def full: Boolean = pq.size >= k
+    def worstDist: Double = if (pq.isEmpty) Double.PositiveInfinity else pq.head._1
+    def offer(dist: Double, docId: Long, addon: Long): Unit = {
+      if (pq.size < k) pq.enqueue((dist, docId, addon))
+      else {
+        val (wd, wid, _) = pq.head
+        if (dist < wd || (dist == wd && docId < wid)) {
+          pq.dequeue(); pq.enqueue((dist, docId, addon))
+        }
+      }
+    }
+    def drain(): Array[(Long, Double, Long)] =
+      pq.toArray.map { case (d, id, a) => (id, d, a) }
+  }
+
+  final case class AltResult(rows: Array[(Long, Double, Long)], visited: Int)
+
+  /** `WHERE t @@ q ORDER BY addon <op> c LIMIT k` from the alt-order
+    * layout: ordered stream(s) from c with early termination once the
+    * next candidate's distance can no longer improve the k best.
+    * Only finite-distance matches are emitted. `visited` counts candidate
+    * consistency checks — the early-termination evidence.
+    */
+  def topKAddonShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
+                     rows: Iterator[PostingRow], c: Long, op: String,
+                     k: Int): AltResult = {
+    val cells = buildCells(keys, rows)
+    val reqIdx = SearchKernel.requiredKeys(cq)
+    require(reqIdx.nonEmpty, "alt scan needs required keys (caller gates)")
+    val heap = new Heap(k)
+    var visited = 0
+
+    def run(forward: Boolean, startKey: Long, startSub: Long,
+            dist: Long => Double): Unit = {
+      val cursors = cells.map(b => new AltCur(b, forward))
+      val req = reqIdx.map(cursors)
+      val provider = new AltProvider(cursors)
+      req.foreach(_.stepToward(startKey, startSub))
+      var going = true
+      while (going && nextAgreed(req)) {
+        val a = req(0).key
+        val d = req(0).sub
+        val dd = dist(a)
+        if (heap.full && dd > heap.worstDist) going = false
+        else {
+          visited += 1
+          provider.reset(a, d)
+          if (TsEval.matches(cq, provider)) heap.offer(dd, d, a)
+          req(0).step()
+        }
+      }
+    }
+
+    op match {
+      case "right" => run(forward = true, c, Long.MinValue, a => (a - c).toDouble)
+      case "left" => run(forward = false, c, Long.MaxValue, a => (c - a).toDouble)
+      case "both" =>
+        run(forward = true, c, Long.MinValue, a => (a - c).toDouble)
+        if (c != Long.MinValue)
+          run(forward = false, c - 1, Long.MaxValue, a => (c - a).toDouble)
+      case other => throw new IllegalArgumentException(s"op: $other")
+    }
+    AltResult(heap.drain(), visited)
+  }
+
+  /** match AND lo <= addon <= hi, streamed from lo and stopped at hi —
+    * cost tracks the in-range match count, not the total match count.
+    */
+  def rangeAddonShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
+                      rows: Iterator[PostingRow], lo: Long,
+                      hi: Long): Iterator[(Long, Long)] = {
+    val cells = buildCells(keys, rows)
+    val reqIdx = SearchKernel.requiredKeys(cq)
+    require(reqIdx.nonEmpty, "alt scan needs required keys (caller gates)")
+    val cursors = cells.map(b => new AltCur(b, forward = true))
+    val req = reqIdx.map(cursors)
+    val provider = new AltProvider(cursors)
+    req.foreach(_.stepToward(lo, Long.MinValue))
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    var going = true
+    while (going && nextAgreed(req)) {
+      val a = req(0).key
+      val d = req(0).sub
+      if (a > hi) going = false
+      else {
+        provider.reset(a, d)
+        if (TsEval.matches(cq, provider)) out += ((d, a))
+        req(0).step()
+      }
+    }
+    out.iterator
+  }
+}

@@ -35,6 +35,10 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   private lazy val postings: Dataset[PostingRow] =
     spark.read.parquet(SegmentCatalog.postingsDir(indexDir)).as[PostingRow]
 
+  /** (addon, docId)-ordered posting copy (order_by_attach layout). */
+  private lazy val altPostings: Dataset[PostingRow] =
+    spark.read.parquet(SegmentCatalog.altDir(indexDir)).as[PostingRow]
+
   private lazy val docs: Dataset[DocRow] =
     spark.read.parquet(SegmentCatalog.docsDir(indexDir))
       .select(col("shard"), col("docId"), col("len"), col("addon")).as[DocRow]
@@ -119,19 +123,60 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * Distance is in raw addon units; ties break on docId like RUM's TID
     * tie-break. One-sided misses sort last with infinite distance.
     */
+  /** True when the alt-order layout can serve this query: layout present,
+    * candidates drivable from required keys, no prefix expansion.
+    */
+  private def altServes(cq: CompiledQuery): Boolean =
+    meta.altOrder && !SearchKernel.needsFullScan(cq) &&
+      SearchKernel.requiredKeys(cq).nonEmpty && cq.keys.forall(!_.prefix)
+
   def topKAddon(queryStr: String, c: Long, op: String, k: Int): DataFrame = {
-    val base = matchingWithAddon(queryStr)
-    val dist = op match {
-      case "both" => abs(col("addon") - lit(c)).cast("double")
-      case "left" => when(col("addon") <= c, (lit(c) - col("addon")).cast("double"))
-        .otherwise(lit(Double.PositiveInfinity))
-      case "right" => when(col("addon") >= c, (col("addon") - lit(c)).cast("double"))
-        .otherwise(lit(Double.PositiveInfinity))
-      case other => throw new IllegalArgumentException(s"op: $other")
+    val cq = compile(queryStr)
+    if (altServes(cq) && Set("both", "left", "right").contains(op)) {
+      // index-ordered stream with early termination (order_by_attach scan,
+      // src/rumget.c:2303-2327): per-shard cost tracks k, not match count;
+      // only finite-distance matches are emitted
+      val keys = SearchKernel.keySpecs(cq)
+      altPostings.where(termPredicate(cq))
+        .groupByKey(_.shard)
+        .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
+          AltKernel.topKAddonShard(cq, keys, it, c, op, k).rows.iterator)
+        .toDF("docId", "distance", "addon")
+        .select(col("docId"), col("addon"), col("distance"))
+        .orderBy(col("distance").asc, col("docId").asc)
+        .limit(k)
+    } else {
+      val base = matchingWithAddon(queryStr)
+      val dist = op match {
+        case "both" => abs(col("addon") - lit(c)).cast("double")
+        case "left" => when(col("addon") <= c, (lit(c) - col("addon")).cast("double"))
+          .otherwise(lit(Double.PositiveInfinity))
+        case "right" => when(col("addon") >= c, (col("addon") - lit(c)).cast("double"))
+          .otherwise(lit(Double.PositiveInfinity))
+        case other => throw new IllegalArgumentException(s"op: $other")
+      }
+      base.withColumn("distance", dist)
+        .where(col("distance") =!= Double.PositiveInfinity) // match alt path: finite only
+        .orderBy(col("distance").asc, col("docId").asc)
+        .limit(k)
     }
-    base.withColumn("distance", dist)
-      .orderBy(col("distance").asc, col("docId").asc)
-      .limit(k)
+  }
+
+  /** match AND lo <= addon <= hi — served from the alt-order layout as a
+    * bounded ordered stream when available (cost tracks the in-range match
+    * count), else filter over all matches.
+    */
+  def rangeAddon(queryStr: String, lo: Long, hi: Long): DataFrame = {
+    val cq = compile(queryStr)
+    if (altServes(cq)) {
+      val keys = SearchKernel.keySpecs(cq)
+      altPostings.where(termPredicate(cq))
+        .groupByKey(_.shard)
+        .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
+          AltKernel.rangeAddonShard(cq, keys, it, lo, hi))
+        .toDF("docId", "addon")
+    } else
+      matchingWithAddon(queryStr).where(col("addon") >= lo && col("addon") <= hi)
   }
 
   /** Ranked search: WHERE t @@ q ORDER BY t <=> q LIMIT k — the

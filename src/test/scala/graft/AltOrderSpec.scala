@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.IndexBuilder
+import graft.query.{CompiledQuery, TsQueryParser}
+import graft.search.{AltKernel, SearchKernel, Searcher}
+
+/** Alternative-order layout (order_by_attach, reference
+  * src/rumdatapage.c:327-360 + src/rumscan.c:461-554): the alt scan must
+  * return exactly what the sort-all fallback returns, and its per-shard
+  * work must track k, not the match count (early termination).
+  */
+class AltOrderSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val nDocs = 4000
+  private def text(i: Int): String = {
+    val sb = new StringBuilder
+    sb.append("every ")
+    if (i % 2 == 0) sb.append("half ")
+    if (i % 50 == 0) sb.append("sparse ")
+    sb.append(s"tail${i % 5}")
+    sb.toString
+  }
+  // addon deliberately uncorrelated with docId (scrambled) so docId-ordered
+  // block stats could NOT prune an addon range; integer-divided by 3 to
+  // force TIES (equal addons are legal and must pack/scan correctly)
+  private def addonOf(i: Int): Long = (((i * 7919) % nDocs) / 3).toLong * 10L
+
+  private lazy val (altIdx, plainIdx, altDirPath) = {
+    val docs = (0 until nDocs).map(i => (i.toLong, text(i), addonOf(i)))
+      .toDF("doc_id", "text", "d")
+    val dA = java.nio.file.Files.createTempDirectory("altidx").toString
+    val dP = java.nio.file.Files.createTempDirectory("plainidx").toString
+    IndexBuilder.build(spark, docs, "doc_id", "text", dA,
+      IndexBuilder.Params(nShards = 4, blockSize = 64, attach = Some("d"), altOrder = true))
+    IndexBuilder.build(spark, docs, "doc_id", "text", dP,
+      IndexBuilder.Params(nShards = 4, blockSize = 64, attach = Some("d")))
+    (new Searcher(spark, dA), new Searcher(spark, dP), dA)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("alt top-k equals sort-all fallback for both/left/right") {
+    val c = 17770L
+    for (op <- Seq("both", "left", "right"); q <- Seq("every & half", "!half & every")) {
+      val a = rows(altIdx.topKAddon(q, c, op, 9))
+      val p = rows(plainIdx.topKAddon(q, c, op, 9))
+      assert(a == p, s"op=$op q='$q': alt=$a plain=$p")
+    }
+  }
+
+  test("alt range scan equals filter over all matches") {
+    val a = altIdx.rangeAddon("every & half", 5000L, 9000L)
+      .orderBy("docId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val p = plainIdx.rangeAddon("every & half", 5000L, 9000L)
+      .orderBy("docId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == p && a.nonEmpty)
+  }
+
+  test("early termination: consistency checks track k, not match count") {
+    // single shard's rows fed straight to the kernel: 'every & half'
+    // matches ~half the corpus, but top-5 from c must visit ~5 candidates
+    // per direction, not ~matches
+    val cq = CompiledQuery.compile(TsQueryParser.parse("every & half"))
+    val keys = SearchKernel.keySpecs(cq)
+    val altRows = spark.read
+      .parquet(graft.build.SegmentCatalog.altDir(altDirPath))
+      .as[graft.build.PostingRow].collect()
+    val oneShard = altRows.filter(_.shard == 0)
+    val matchesInShard = plainIdx.matchingDocs("every & half")
+      .as[Long].collect().count(_ % 4 == 0) // shard = hash(docId) % 4 — approx
+    val res = AltKernel.topKAddonShard(cq, keys, oneShard.iterator, 17770L, "both", 5)
+    assert(res.rows.length == 5)
+    assert(res.visited <= 30, s"visited=${res.visited} for k=5 (matches in shard ≈ $matchesInShard)")
+  }
+
+  test("alt layout maintained through append and compact") {
+    val docs = (0 until 600).map(i => (i.toLong, text(i), addonOf(i))).toDF("doc_id", "text", "d")
+    val more = (600 until 900).map(i => (i.toLong, text(i), addonOf(i % 600) + 5L)).toDF("doc_id", "text", "d")
+    val d = java.nio.file.Files.createTempDirectory("altappend").toString
+    IndexBuilder.build(spark, docs, "doc_id", "text", d,
+      IndexBuilder.Params(nShards = 4, blockSize = 64, attach = Some("d"), altOrder = true))
+    IndexBuilder.append(spark, more, "doc_id", "text", d)
+    val s = new Searcher(spark, d)
+    // brute force over the union corpus
+    val all = (0 until 600).map(i => (i.toLong, text(i), addonOf(i))) ++
+      (600 until 900).map(i => (i.toLong, text(i), addonOf(i % 600) + 5L))
+    def brute(c: Long, k: Int): Seq[(Long, Long, Double)] =
+      all.filter(t => { val ts = t._2.split(" ").toSet; ts.contains("every") && ts.contains("half") })
+        .map(t => (t._1, t._3, math.abs(t._3 - c).toDouble))
+        .sortBy(t => (t._3, t._1)).take(k)
+    assert(rows(s.topKAddon("every & half", 300L, "both", 8)) == brute(300L, 8))
+    IndexBuilder.compact(spark, d)
+    val s2 = new Searcher(spark, d) // fresh file listing after the swap
+    assert(rows(s2.topKAddon("every & half", 300L, "both", 8)) == brute(300L, 8))
+  }
+}

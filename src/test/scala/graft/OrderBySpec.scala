@@ -37,8 +37,10 @@ class OrderBySpec extends AnyFunSuite {
   private lazy val indexDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("tstsidx").toString
     val df = spark.createDataFrame(rows).toDF("id", "t", "d")
+    // altOrder: the reference's orderby suite runs against the
+    // order_by_attach layout — exercise the alt scan path on its goldens
     IndexBuilder.build(spark, df, "id", "t", dir,
-      IndexBuilder.Params(nShards = 8, attach = Some("d")))
+      IndexBuilder.Params(nShards = 8, attach = Some("d"), altOrder = true))
     dir
   }
   private lazy val searcher = new Searcher(spark, indexDir)
