@@ -79,21 +79,48 @@ object SparkEntry {
 
   private def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
 
-  // DuckDB embedding CTE: elements + deterministic LSH planes/signatures
-  // (twin of graft.search.AnnLsh — md5-parity ±1 planes, 4 planes, dims 1-64)
+  /** Banded LSH signatures per corpus, computed ONCE per JVM and cached
+    * partitioned on (table, bucket) — the ingest-time materialization every
+    * candidate join co-partitions on (at 100 TB this is a written table
+    * bucketed by (table, bucket), e.g. an Iceberg bucket transform; here an
+    * in-memory persist demonstrates the same plan shape).
+    */
+  private object EmbedCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    def signatures(s: SparkSession, sfDir: String): DataFrame =
+      cache.computeIfAbsent(sfDir, _ => {
+        import graft.search.AnnLsh
+        val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+        AnnLsh.signatures(emb, "embedding", LshTables, LshPlanes, 64)
+          .repartition(col("table"), col("bucket"))
+          .persist()
+      })
+  }
+
+  /** LSH geometry shared by the Spark queries and the DuckDB oracle:
+    * 4 banded tables × 8 planes (32 planes total); table t owns global
+    * planes [8t, 8t+8). See [[graft.search.AnnLsh]] for the pair-count
+    * bound and why the plane count must scale with corpus size.
+    */
+  private val LshTables = 4
+  private val LshPlanes = 8
+
+  // DuckDB embedding CTE: elements + deterministic banded LSH signatures
+  // (twin of graft.search.AnnLsh — md5-parity ±1 planes, 4 tables × 8
+  // planes, dims 1-64)
   private val EmbCte =
     """WITH e AS (SELECT vec_id, embedding FROM embeddings),
       |elems AS (SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS x
       |  FROM e, LATERAL (SELECT unnest(range(1, len(embedding)+1)) AS i) g),
-      |planes AS (SELECT b, i,
+      |planes AS (SELECT b // 8 AS t, b % 8 AS bit, i,
       |    CASE WHEN CAST('0x' || substr(md5(CAST(b AS VARCHAR) || '|' || CAST(i AS VARCHAR)),1,15) AS BIGINT) % 2 = 1
       |         THEN 1.0 ELSE -1.0 END AS w
-      |  FROM (SELECT CAST(unnest(range(0,4)) AS INTEGER) AS b),
+      |  FROM (SELECT CAST(unnest(range(0,32)) AS INTEGER) AS b),
       |       (SELECT CAST(unnest(range(1,65)) AS INTEGER) AS i)),
-      |proj AS (SELECT vec_id, b, sum(x*w) AS s FROM elems JOIN planes USING(i) GROUP BY 1,2),
-      |sig AS (SELECT vec_id,
-      |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM proj GROUP BY 1),
+      |proj AS (SELECT vec_id, t, bit, sum(x*w) AS s FROM elems JOIN planes USING(i) GROUP BY 1,2,3),
+      |sig AS (SELECT vec_id, t,
+      |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY 1,2),
       |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1)""".stripMargin
 
   // DuckDB token CTE (kept in one place; concatenated into oracle strings)
@@ -301,11 +328,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "dedup_jaccard_pairs" -> ((s, dir) => {
+      // the self-join is keyed on the COMPOSITE (sh, doc_id) — the explicit
+      // `nbr` column makes the equi-key unambiguous, so a hot shingle
+      // (license boilerplate) never concentrates on one shuffle key: its
+      // rows spread across the doc-id space (plan asserted in TextAnnSpec)
       val ss = shingles(s, dir).select("doc_id", "sh").distinct()
       val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val inter = ss.as("a").join(ss.as("b"),
-          col("a.sh") === col("b.sh") && col("b.doc_id") === col("a.doc_id") + 1)
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val a = ss.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        (col("doc_id") + 1).as("nbr"))
+      val b = ss.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val inter = a.join(b, col("sh_a") === col("sh_b") && col("nbr") === col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("i"))
       inter
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
@@ -412,33 +445,36 @@ object SparkEntry {
         .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
     }),
     "ann_lsh_topk" -> ((s, dir) => {
-      // LSH-bucketed ANN (the scale path): 4 deterministic sign-projection
-      // planes → 16 buckets; candidates = query's bucket only; exact cosine
-      // re-rank inside the bucket. At 100 TB `bucket` is the partition key.
+      // banded-LSH ANN (the scale path): candidates share the query's
+      // (table, bucket) in any of the 4 tables; exact cosine re-ranks
+      // candidates only. Signatures are computed once per corpus and
+      // cached partitioned on (table, bucket) — see EmbedCache.
       import graft.search.AnnLsh
-      val pl = AnnLsh.planes(4, 64)
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("bucket", AnnLsh.bucket(col("embedding"), pl))
-      val qRow = emb.where(col("vec_id") === 0).select("embedding", "bucket").head()
-      val q = qRow.getSeq[Float](0).toArray
-      val qb = qRow.getLong(1)
-      emb.where(col("bucket") === qb)
-        .select(col("vec_id"), round(AnnLsh.cosineTo(col("embedding"), q), 4).as("sim"),
-          col("bucket"))
+      val sig = EmbedCache.signatures(s, dir)
+      val q = s.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+      val qBuckets = sig.where(col("vec_id") === 0)
+        .select("table", "bucket").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+      val hit = qBuckets.map { case (t, b) => col("table") === t && col("bucket") === b }
+        .reduce(_ || _)
+      sig.where(hit)
+        .select("vec_id", "embedding").dropDuplicates("vec_id")
+        .select(col("vec_id"), round(AnnLsh.cosineTo(col("embedding"), q), 4).as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
         .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
     }),
     "dedup_embed_lsh" -> ((s, dir) => {
-      // embedding-cosine near-dup with LSH blocking: candidate pairs share
-      // an LSH bucket (co-partitioned equi-join, no O(n²) shuffle), exact
-      // cosine >= 0.40 confirms
+      // embedding-cosine near-dup with banded LSH blocking: candidate
+      // pairs share a (table, bucket) cell (co-partitioned equi-join;
+      // expected pairs ~ T*n^2/2^(P+1), never all-pairs); exact cosine
+      // >= 0.40 confirms
       import graft.search.AnnLsh
-      val pl = AnnLsh.planes(4, 64)
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("bucket", AnnLsh.bucket(col("embedding"), pl))
-      val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+      val sig = EmbedCache.signatures(s, dir)
+      val a = sig.select(col("table"), col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = sig.select(col("table"), col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, Seq("table", "bucket")).where(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "eb").dropDuplicates("vec_a", "vec_b")
         .withColumn("sim", AnnLsh.cosine(col("ea"), col("eb")))
         .where(col("sim") >= 0.40)
         .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
@@ -733,20 +769,20 @@ object SparkEntry {
         |ORDER BY doc_id, h""".stripMargin),
     "ann_lsh_topk" -> (EmbCte +
       """,
-        |qb AS (SELECT bucket FROM sig WHERE vec_id=0),
+        |qb AS (SELECT t, bucket FROM sig WHERE vec_id=0),
         |qe AS (SELECT i, x FROM elems WHERE vec_id=0),
         |qn AS (SELECT sqrt(sum(x*x)) AS qn FROM qe),
-        |cand AS (SELECT s.vec_id, s.bucket FROM sig s, qb WHERE s.bucket=qb.bucket),
+        |cand AS (SELECT DISTINCT s.vec_id FROM sig s JOIN qb ON s.t=qb.t AND s.bucket=qb.bucket),
         |dots AS (SELECT e.vec_id, sum(e.x*q.x) AS dot
         |  FROM elems e JOIN qe q USING(i) JOIN cand c ON c.vec_id=e.vec_id GROUP BY 1)
-        |SELECT d.vec_id, round(dot/(n.nrm*qn.qn),4) AS sim, c.bucket,
+        |SELECT d.vec_id, round(dot/(n.nrm*qn.qn),4) AS sim,
         |  row_number() OVER (ORDER BY round(dot/(n.nrm*qn.qn),4) DESC, d.vec_id) AS rank
-        |FROM dots d JOIN nrm n USING(vec_id) JOIN cand c USING(vec_id) CROSS JOIN qn
+        |FROM dots d JOIN nrm n USING(vec_id) CROSS JOIN qn
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
     "dedup_embed_lsh" -> (EmbCte +
       """,
-        |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM sig a JOIN sig b ON a.bucket=b.bucket AND a.vec_id<b.vec_id),
+        |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sig a JOIN sig b ON a.t=b.t AND a.bucket=b.bucket AND a.vec_id<b.vec_id),
         |dots AS (SELECT p.vec_a, p.vec_b, sum(ea.x*eb.x) AS dot
         |  FROM pairs p JOIN elems ea ON ea.vec_id=p.vec_a
         |  JOIN elems eb ON eb.vec_id=p.vec_b AND eb.i=ea.i GROUP BY 1,2)

@@ -57,6 +57,51 @@ class TextAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("banded signatures: table t uses global planes [8t, 8t+8)") {
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => (if (i % 3 == 0) 1.0f else -0.5f))),
+      (2L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)))
+    val sig = AnnLsh.signatures(vecs.toDF("vec_id", "embedding"), "embedding", 4, 8, 64)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(sig.size == 8) // 2 vecs × 4 tables
+    // JVM reference per (vec, table)
+    vecs.foreach { case (id, v) =>
+      for (t <- 0 until 4) {
+        val pl = AnnLsh.tablePlanes(t, 8, 64)
+        var expect = 0L
+        for (bit <- 0 until 8) {
+          var s = 0.0
+          for (i <- v.indices) s += v(i).toDouble * pl(bit)(i)
+          if (s > 0) expect |= (1L << bit)
+        }
+        assert(sig((id, t)) == expect, s"vec $id table $t")
+      }
+    }
+    // table planes = the matching slice of the flat plane sequence
+    assert(AnnLsh.tablePlanes(2, 8, 16).map(_.toSeq).toSeq ==
+      AnnLsh.planes(24, 16).slice(16, 24).map(_.toSeq).toSeq)
+  }
+
+  test("defaultPlanes grows with corpus size") {
+    assert(AnnLsh.defaultPlanes(1000) == 8)       // floor
+    assert(AnnLsh.defaultPlanes(64L << 20) == 20) // 64M vecs / 64 → 2^20
+    assert(AnnLsh.defaultPlanes(1L << 40, 64) == 34)
+  }
+
+  test("jaccard self-join is keyed on (sh, doc_id) — no hot-shingle key") {
+    val df = SparkEntry.queries("dedup_jaccard_pairs")(spark, "/root/testdata/sf0.001")
+    val joins = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin"))
+      .toSeq
+    // the shingle join's equi-keys must include BOTH sh and a doc-id
+    // expression (a key of sh alone concentrates license boilerplate
+    // on one shuffle partition at scale)
+    val shingleJoin = joins.filter(_.contains("sh_a"))
+    assert(shingleJoin.nonEmpty, joins.mkString("\n"))
+    assert(shingleJoin.forall(l => l.contains("nbr") || l.contains("doc_id")),
+      shingleJoin.mkString("\n"))
+  }
+
   test("cosine kernels: exact on hand values") {
     val df = Seq((1L, Array(3.0f, 4.0f), Array(3.0f, 4.0f)),
       (2L, Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
