@@ -75,6 +75,17 @@ object SparkEntry {
     def searcherW(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple_title8")
     /** hash-keyed variant (rum_tsvector_hash_ops). */
     def searcherH(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple", "hash")
+    /** multi-column variant: fields (text, lang) with field-prefixed keys. */
+    def searcherM(s: SparkSession, sfDir: String): Searcher = {
+      val idxDir = cache.computeIfAbsent(s"$sfDir#multi", _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+        IndexBuilder.buildFields(s, documents(s, sfDir), "doc_id",
+          Seq("text" -> "text", "lang" -> "lang"), dir,
+          IndexBuilder.Params(nShards = 8))
+        dir
+      })
+      new Searcher(s, idxDir)
+    }
   }
 
   private def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
@@ -227,6 +238,14 @@ object SparkEntry {
         .withColumn("distance", round(col("distance"), 4))
         .select(col("docId").as("doc_id"), col("distance"))
         .orderBy("distance", "doc_id")
+    }),
+    "ft_multicol" -> ((s, dir) => {
+      // two-field index (text, lang): per-field tsqueries ANDed into one
+      // kernel pass over field-prefixed keys (attnum prefix analogue,
+      // src/rumutil.c:266-288); prefix search stays field-scoped
+      IndexCache.searcherM(s, dir)
+        .matchingDocsMulti(Seq("text" -> "merge & win:*", "lang" -> "en | de"))
+        .select(col("docId").as("doc_id")).orderBy("doc_id")
     }),
     "ft_hash_count" -> ((s, dir) => {
       // hash-keyed opclass: same boolean semantics over 64-bit hashed
@@ -581,6 +600,12 @@ object SparkEntry {
         |SELECT doc_id, score,
         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
         |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    "ft_multicol" -> (ToksCte +
+      """SELECT doc_id FROM (
+        |  SELECT DISTINCT doc_id FROM toks WHERE term='merge'
+        |  INTERSECT SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'win%'
+        |  INTERSECT SELECT doc_id FROM documents WHERE lang IN ('en','de')) x
+        |ORDER BY doc_id""".stripMargin),
     "ft_hash_count" -> (ToksCte +
       """SELECT count(*) AS cnt FROM (
         |  SELECT doc_id FROM toks WHERE term='order'
@@ -790,16 +815,20 @@ object SparkEntry {
         |FROM dots d JOIN nrm na ON na.vec_id=d.vec_a JOIN nrm nb ON nb.vec_id=d.vec_b
         |WHERE dot/(na.nrm*nb.nrm) >= 0.40
         |ORDER BY vec_a, vec_b""".stripMargin),
+    // byte-exact twin of BinaryPipeline: encode() gives the UTF-8 payload
+    // bytes (multi-byte chars and empty docs handled — hex pairs, LEFT
+    // JOIN), matching the Spark side's byte semantics exactly
     "mm_features" ->
-      """WITH b AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents),
-        |bytes AS (SELECT doc_id, ascii(substr(text, CAST(g.i AS INTEGER), 1)) AS v
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |bytes AS (SELECT doc_id, CAST('0x' || substr(h, CAST(2*g.i-1 AS INTEGER), 2) AS INTEGER) AS v
         |  FROM b, LATERAL (SELECT unnest(range(1, n+1)) AS i) g)
         |SELECT b.doc_id, CAST(n AS BIGINT) AS n_bytes,
         |  CAST((n*31)%64 + 1 AS INTEGER) AS width,
-        |  CAST(sum(v) AS BIGINT) AS sum_bytes,
-        |  CAST(sum(CASE WHEN v=0 THEN 1 ELSE 0 END) AS BIGINT) AS histo_0,
+        |  CAST(coalesce(sum(v),0) AS BIGINT) AS sum_bytes,
+        |  CAST(coalesce(sum(CASE WHEN v=0 THEN 1 ELSE 0 END),0) AS BIGINT) AS histo_0,
         |  CAST(count(DISTINCT v) AS INTEGER) AS distinct_bytes
-        |FROM b JOIN bytes USING(doc_id) GROUP BY b.doc_id, n
+        |FROM b LEFT JOIN bytes USING(doc_id) GROUP BY b.doc_id, n
         |ORDER BY doc_id""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id=0),

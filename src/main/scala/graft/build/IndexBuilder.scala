@@ -146,8 +146,17 @@ object IndexBuilder {
       .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
   }
 
+  /** Field separator for multi-column keys — the attnum prefix of the
+    * reference's multicolumn entries (src/rumutil.c:266-288) re-expressed
+    * as a key-space prefix: all of a field's terms form one contiguous
+    * range, so field-scoped term and prefix predicates stay range prunable.
+    */
+  val FieldSep = "\u0001"
+  def fieldKey(field: String, term: String): String = field + FieldSep + term
+
   /** tokenize+explode a normalized slice into posting tuples. */
-  private def explodedOf(todo: DataFrame, params: Params): DataFrame = {
+  private def explodedOf(todo: DataFrame, params: Params,
+                         keyPrefix: String = ""): DataFrame = {
     val tokName = params.tokenizer
     val hashKeys = params.keyKind == "hash"
     val tokUdf = udf { (text: String) =>
@@ -156,8 +165,9 @@ object IndexBuilder {
       var i = 0
       while (i < occs.length) { len += occs(i).tf; i += 1 }
       occs.map { o =>
+        val raw = keyPrefix + o.term
+        val key = if (hashKeys) graft.core.HashKeys.hex(raw) else raw
         val (cp, cw) = PositionCodec.cap(o.positions, o.wclasses)
-        val key = if (hashKeys) graft.core.HashKeys.hex(o.term) else o.term
         TermEntry(key, o.tf, len, PositionCodec.encode(cp, cw))
       }
     }
@@ -338,7 +348,7 @@ object IndexBuilder {
     */
   private def refresh(spark: SparkSession, indexDir: String, params: Params,
                       buildMs: Long, lineage: String,
-                      lastBatchId: Long = -1L): IndexMeta = {
+                      lastBatchId: Long = -1L, fields: String = ""): IndexMeta = {
     // top-level ndocs/maxTf columns mean this pass never touches the fat
     // `blocks` column — parquet column pruning keeps the stats refresh a
     // metadata-sized read, not a full index re-read
@@ -380,7 +390,8 @@ object IndexBuilder {
       shards = shardsMeta.sortBy(_.shard),
       lastBatchId = lastBatchId,
       keyKind = params.keyKind,
-      altOrder = params.altOrder)
+      altOrder = params.altOrder,
+      fields = fields)
     SegmentCatalog.save(indexDir, meta)
     meta
   }
@@ -444,6 +455,54 @@ object IndexBuilder {
     refresh(spark, indexDir, params, buildMs, lineage)
   }
 
+  /** Multi-column build — one index over several text columns with
+    * field-prefixed keys (the attnum key prefix of the reference's
+    * multicolumn support, src/rumutil.c:266-288; tests
+    * sql/orderby.sql:89-106). Queries go through
+    * [[graft.search.Searcher.compileMulti]], which ANDs per-field tsqueries
+    * into one kernel pass. Doc length = total tokens across fields.
+    * Incremental append is not supported on multi-column indexes (rebuild
+    * or compact instead); delete/compact work transparently since the
+    * field prefix rides inside the key.
+    */
+  def buildFields(spark: SparkSession, corpus: DataFrame, docIdCol: String,
+                  fields: Seq[(String, String)], indexDir: String,
+                  params: Params = Params()): IndexMeta = {
+    require(fields.nonEmpty, "need at least one (field, column)")
+    val t0 = System.currentTimeMillis()
+    deleteRecursively(SegmentCatalog.postingsDir(indexDir))
+    deleteRecursively(SegmentCatalog.altDir(indexDir))
+    deleteRecursively(SegmentCatalog.docsDir(indexDir))
+    deleteRecursively(SegmentCatalog.statsDir(indexDir))
+
+    val exploded = fields.map { case (fname, colName) =>
+      explodedOf(normalize(corpus, docIdCol, colName, params), params,
+        keyPrefix = fname + FieldSep)
+    }.reduce(_ unionAll _)
+    packDataset(spark, exploded, params)
+      .write.mode("append").partitionBy("shard")
+      .parquet(SegmentCatalog.postingsDir(indexDir))
+    if (params.altOrder)
+      packDataset(spark, exploded, params, alt = true)
+        .write.mode("append").partitionBy("shard")
+        .parquet(SegmentCatalog.altDir(indexDir))
+
+    val cntUdf = udf(tokenCountFn(params.tokenizer))
+    val addonCol = params.attach
+      .map(a => col(a).cast("long")).getOrElse(lit(0L)).as("addon")
+    val lenExpr = fields.map { case (_, c) => cntUdf(col(c)) }.reduce(_ + _)
+    corpus.select(col(docIdCol).cast("long").as("docId"), lenExpr.as("len"), addonCol)
+      .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
+      .select("shard", "docId", "len", "addon")
+      .write.mode("append").partitionBy("shard")
+      .parquet(SegmentCatalog.docsDir(indexDir))
+
+    val buildMs = System.currentTimeMillis() - t0
+    val lineage = s"multicol(${fields.map(_._1).mkString(",")})"
+    refresh(spark, indexDir, params, buildMs, lineage,
+      fields = fields.map(_._1).mkString(","))
+  }
+
   /** Incremental insert: append a micro-segment per shard for new docs
     * (ruminsert path). New docIds must not already exist in the index
     * (replacements: delete first). Query-side merges overlapping chunk
@@ -454,6 +513,8 @@ object IndexBuilder {
     val t0 = System.currentTimeMillis()
     val meta = SegmentCatalog.load(indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
+    require(meta.fields.isEmpty,
+      "append is not supported on multi-column indexes (rebuild instead)")
     val params = paramsOf(meta)
     val todo = normalize(newCorpus, docIdCol, textCol, params)
 
@@ -549,6 +610,6 @@ object IndexBuilder {
 
     val buildMs = System.currentTimeMillis() - t0
     refresh(spark, indexDir, params, buildMs, s"compact(exclude=${exclude.isDefined})",
-      lastBatchId = meta.lastBatchId)
+      lastBatchId = meta.lastBatchId, fields = meta.fields)
   }
 }

@@ -40,7 +40,11 @@ final case class IndexMeta(
     /** "text" | "hash" — see [[graft.core.HashKeys]] */
     keyKind: String = "text",
     /** (addon, docId)-ordered posting copy present (order_by_attach) */
-    altOrder: Boolean = false) {
+    altOrder: Boolean = false,
+    /** comma-separated field names of a multi-column index ("" = single
+      * text column); keys are field-prefixed, see IndexBuilder.fieldKey
+      */
+    fields: String = "") {
   def committedShards: Set[Int] = shards.map(_.shard).toSet
   def isComplete: Boolean = committedShards.size == nShards
 }
@@ -78,6 +82,7 @@ object SegmentCatalog {
     sb.append(s"lastBatchId=${meta.lastBatchId}\n")
     sb.append(s"keyKind=${meta.keyKind}\n")
     sb.append(s"altOrder=${meta.altOrder}\n")
+    sb.append(s"fields=${meta.fields}\n")
     meta.shards.sortBy(_.shard).foreach { s =>
       sb.append(s"shard=${s.shard},${s.terms},${s.chunkRows},${s.postings},${s.buildMs},${s.committedAtMs}\n")
     }
@@ -123,6 +128,7 @@ object SegmentCatalog {
       shards = shards.toList,
       lastBatchId = kv.getOrElse("lastBatchId", "-1").toLong,
       keyKind = kv.getOrElse("keyKind", "text"),
-      altOrder = kv.getOrElse("altOrder", "false").toBoolean))
+      altOrder = kv.getOrElse("altOrder", "false").toBoolean,
+      fields = kv.getOrElse("fields", "")))
   }
 }

@@ -66,8 +66,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   private def keyOf(term: String): String =
     if (meta.keyKind == "hash") graft.core.HashKeys.hex(term) else term
 
-  def compile(queryStr: String): CompiledQuery = {
-    val q = TsQueryParser.parse(queryStr)
+  private def compileTree(q: TsQuery): CompiledQuery = {
     if (meta.keyKind == "hash") {
       // mirror the reference: hash keys cannot serve range/partial match
       // ("Compare with prefix expressions isn't supported",
@@ -78,11 +77,40 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     } else CompiledQuery.compile(q)
   }
 
+  def compile(queryStr: String): CompiledQuery = {
+    require(meta.fields.isEmpty,
+      s"multi-column index (fields=${meta.fields}): use compileMulti/countMulti")
+    compileTree(TsQueryParser.parse(queryStr))
+  }
+
+  /** Multi-column query: one tsquery per field, ANDed into a single
+    * compiled tree over field-prefixed keys — one kernel pass intersects
+    * across fields (reference: attnum-prefixed entry keys,
+    * src/rumutil.c:266-288; multicolumn tests sql/orderby.sql:89-106).
+    */
+  def compileMulti(fieldQueries: Seq[(String, String)]): CompiledQuery = {
+    val known = meta.fields.split(",").toSet
+    require(meta.fields.nonEmpty, "not a multi-column index")
+    val trees = fieldQueries.map { case (f, q) =>
+      require(known.contains(f), s"unknown field '$f' (have ${meta.fields})")
+      TsQuery.mapTerms(TsQueryParser.parse(q),
+        t => graft.build.IndexBuilder.fieldKey(f, t))
+    }
+    compileTree(trees.reduce(TsQuery.And(_, _)))
+  }
+
+  def countMulti(fieldQueries: Seq[(String, String)]): Long =
+    matchingDocsC(compileMulti(fieldQueries)).count()
+
+  def matchingDocsMulti(fieldQueries: Seq[(String, String)]): DataFrame =
+    matchingDocsC(compileMulti(fieldQueries))
+
   /** docIds matching the query (the bitmap-scan sink, rumgetbitmap —
     * src/rumget.c:2105-2145). Unordered.
     */
-  def matchingDocs(queryStr: String): DataFrame = {
-    val cq = compile(queryStr)
+  def matchingDocs(queryStr: String): DataFrame = matchingDocsC(compile(queryStr))
+
+  private def matchingDocsC(cq: CompiledQuery): DataFrame = {
     if (SearchKernel.needsFullScan(cq))
       fullScan(cq, score = false, matchOnly = true, k = 0).select(col("docId"))
     else {
