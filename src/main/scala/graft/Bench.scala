@@ -68,11 +68,13 @@ object Bench {
     results += "query_p95" -> lat(math.min(lat.length - 1, (lat.length * 0.95).toInt))
 
     // ---- driver query suite ----
-    // pre-warm the per-sfDir document index so the alphabetically-first
-    // ft_ query's time reflects the query, not the one-time index build
-    // (build cost is reported separately as corpus_build)
-    try SparkEntry.queries("ft_df")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // pre-warm every per-sfDir index variant (plain/weighted/hash/multicol
+    // + LSH signatures) so each family's first query reflects the query,
+    // not the one-time build (build cost is reported separately as
+    // corpus_build)
+    for (q <- Seq("ft_df", "ft_weighted_count", "ft_hash_count", "ft_multicol", "ann_lsh_topk"))
+      try SparkEntry.queries(q)(spark, sfDir).count()
+      catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -351,8 +351,11 @@ object IndexBuilder {
                       lastBatchId: Long = -1L, fields: String = ""): IndexMeta = {
     // top-level ndocs/maxTf columns mean this pass never touches the fat
     // `blocks` column — parquet column pruning keeps the stats refresh a
-    // metadata-sized read, not a full index re-read
-    val allPostings = spark.read.parquet(SegmentCatalog.postingsDir(indexDir))
+    // metadata-sized read, not a full index re-read. Explicit schemas keep
+    // the zero-file case (buildempty) readable.
+    val allPostings = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[PostingRow].schema)
+      .parquet(SegmentCatalog.postingsDir(indexDir))
       .select("shard", "term", "ndocs", "maxTf")
     val cells = allPostings
       .groupBy("shard", "term")
@@ -371,7 +374,9 @@ object IndexBuilder {
       .toList
     cells.unpersist()
 
-    val allDocs = spark.read.parquet(SegmentCatalog.docsDir(indexDir))
+    val allDocs = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[DocRow].schema)
+      .parquet(SegmentCatalog.docsDir(indexDir))
     val r = allDocs.agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
     val (numDocs, totalTokens) = (r.getLong(0), r.getLong(1))
 

@@ -32,19 +32,26 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   // lazy vals: file listing + schema inference happen once per Searcher,
   // not once per query — repeated InMemoryFileIndex listings serialize
   // concurrent queries on the driver
+  // explicit schemas keep zero-file layouts (buildempty) readable
+  private val postingSchema = org.apache.spark.sql.Encoders.product[PostingRow].schema
+  private val docSchema = org.apache.spark.sql.Encoders.product[DocRow].schema
+  private val statSchema = org.apache.spark.sql.Encoders.product[graft.build.TermStat].schema
+
   private lazy val postings: Dataset[PostingRow] =
-    spark.read.parquet(SegmentCatalog.postingsDir(indexDir)).as[PostingRow]
+    spark.read.schema(postingSchema)
+      .parquet(SegmentCatalog.postingsDir(indexDir)).as[PostingRow]
 
   /** (addon, docId)-ordered posting copy (order_by_attach layout). */
   private lazy val altPostings: Dataset[PostingRow] =
-    spark.read.parquet(SegmentCatalog.altDir(indexDir)).as[PostingRow]
+    spark.read.schema(postingSchema)
+      .parquet(SegmentCatalog.altDir(indexDir)).as[PostingRow]
 
   private lazy val docs: Dataset[DocRow] =
-    spark.read.parquet(SegmentCatalog.docsDir(indexDir))
+    spark.read.schema(docSchema).parquet(SegmentCatalog.docsDir(indexDir))
       .select(col("shard"), col("docId"), col("len"), col("addon")).as[DocRow]
 
   private lazy val statsDF: DataFrame =
-    spark.read.parquet(SegmentCatalog.statsDir(indexDir))
+    spark.read.schema(statSchema).parquet(SegmentCatalog.statsDir(indexDir))
 
   /** term predicate for the parquet scan — exact terms via IN (dictionary/
     * stats pruning), prefixes via range [p, p+MAXCHAR).
@@ -282,8 +289,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
 
   /** Doc length table (token counts). */
   def docLens: DataFrame =
-    spark.read.parquet(SegmentCatalog.docsDir(indexDir))
-      .select(col("docId").as("doc_id"), col("len"))
+    docs.select(col("docId").as("doc_id"), col("len"))
 
   /** Full-corpus scan joined with order-key postings (scanGetItemFull,
     * src/rumget.c:2024-2083): candidate stream = docs table per shard,

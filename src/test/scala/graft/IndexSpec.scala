@@ -198,6 +198,26 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("buildempty: empty corpus builds a queryable index that appends cleanly") {
+    // the rumbuildempty path (reference src/ruminsert.c:715-760): an index
+    // created over zero rows must answer queries (empty) and accept inserts
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("emptyidx").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val meta = IndexBuilder.build(spark, empty, "doc_id", "text", dir,
+      IndexBuilder.Params(nShards = 4))
+    assert(meta.numDocs == 0 && meta.totalTokens == 0 && meta.avgLen == 0.0)
+    val s0 = new Searcher(spark, dir)
+    assert(s0.count("anything") == 0)
+    assert(s0.topKBm25(Seq("anything"), 5).collect().isEmpty)
+    // incremental insert into the empty index (params pinned by manifest)
+    IndexBuilder.append(spark, Seq((1L, "hello world"), (2L, "hello again"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val s1 = new Searcher(spark, dir)
+    assert(s1.count("hello") == 2)
+    assert(s1.count("hello & world") == 1)
+  }
+
   test("manifest stats are sane") {
     val m = searcher.meta
     assert(m.numDocs == 52)
