@@ -50,21 +50,27 @@ object ScalingBench {
       Bench.queryLatencies(searcher, 1) // warm
       val lat = Bench.queryLatencies(searcher, 3)
       // concurrent query throughput: saturate the scheduler from `cores/2`
-      // client threads — the capacity metric that should scale with cores
+      // client threads — the capacity metric that should scale with cores.
+      // Best-of-3 like the build phase: the phase is short enough that one
+      // noisy-neighbor burst otherwise dominates the reading.
       val clients = math.max(2, cores / 2)
       val perClient = 12
-      val tq0 = System.nanoTime()
-      val threads = (1 to clients).map { c =>
-        val th = new Thread(() => Bench.queryLatencies(searcher, perClient / 6))
-        th.start(); th
-      }
-      threads.foreach(_.join())
-      val qSec = (System.nanoTime() - tq0) / 1e9
       val totalQueries = clients * perClient
-      System.err.println(f"[scaling] cores=$cores $totalQueries queries in $qSec%.1fs")
+      var bestQps = 0.0
+      for (qt <- 1 to 3) {
+        val tq0 = System.nanoTime()
+        val threads = (1 to clients).map { _ =>
+          val th = new Thread(() => Bench.queryLatencies(searcher, perClient / 6))
+          th.start(); th
+        }
+        threads.foreach(_.join())
+        val qSec = (System.nanoTime() - tq0) / 1e9
+        System.err.println(f"[scaling] cores=$cores qtrial $qt: $totalQueries queries in $qSec%.1fs")
+        bestQps = math.max(bestQps, totalQueries / qSec)
+      }
       Run(cores, bestBuild, nFiles / bestBuild,
         lat(lat.length / 2), lat(math.min(lat.length - 1, (lat.length * 0.95).toInt)),
-        totalQueries / qSec)
+        bestQps)
     } finally spark.stop()
   }
 
