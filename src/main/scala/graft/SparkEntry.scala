@@ -239,6 +239,14 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), col("distance"))
         .orderBy("distance", "doc_id")
     }),
+    "ft_fuzzy_sample" -> ((s, dir) => {
+      // fuzzy_search_limit (reference rumget.c:50-76): thin matches
+      // deterministically (md5(docId) coin) so ~50 survive; prediction =
+      // rarest required term's df. The oracle applies the same coin —
+      // identical when prediction <= limit (keep prob >= 1).
+      IndexCache.searcher(s, dir).matchingDocsSampled("merge & window", 50)
+        .select(col("docId").as("doc_id")).orderBy("doc_id")
+    }),
     "ft_multicol" -> ((s, dir) => {
       // two-field index (text, lang): per-field tsqueries ANDed into one
       // kernel pass over field-prefixed keys (attnum prefix analogue,
@@ -600,6 +608,17 @@ object SparkEntry {
         |SELECT doc_id, score,
         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
         |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    "ft_fuzzy_sample" -> (ToksCte +
+      """, m AS (
+        |  SELECT doc_id FROM toks WHERE term='merge'
+        |  INTERSECT SELECT doc_id FROM toks WHERE term='window'),
+        |pred AS (SELECT least(
+        |  (SELECT count(DISTINCT doc_id) FROM toks WHERE term='merge'),
+        |  (SELECT count(DISTINCT doc_id) FROM toks WHERE term='window')) AS p)
+        |SELECT doc_id FROM m, pred
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000000
+        |      < CAST(FLOOR(50.0/p*1000000) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin),
     "ft_multicol" -> (ToksCte +
       """SELECT doc_id FROM (
         |  SELECT DISTINCT doc_id FROM toks WHERE term='merge'

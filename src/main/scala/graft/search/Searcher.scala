@@ -132,6 +132,45 @@ final class Searcher(spark: SparkSession, indexDir: String) {
 
   def count(queryStr: String): Long = matchingDocs(queryStr).count()
 
+  /** Approximate bounded result set — the fuzzy_search_limit path
+    * (reference: rumget.c:50-76 dropItem thins the bitmap with coin flips
+    * scaled by predictNumberResult so ~limit matches survive). Re-expressed
+    * deterministically: when the df-based prediction exceeds `limit`, keep
+    * a match iff md5(docId) lands under limit/predicted — the same 60-bit
+    * md5-prefix hash the SQL oracle can compute, so sampling is
+    * reproducible across engines AND executors (no RNG state).
+    */
+  def matchingDocsSampled(queryStr: String, limit: Long): DataFrame = {
+    val cq = compile(queryStr)
+    val full = matchingDocsC(cq)
+    val predicted = predictResults(cq)
+    if (predicted <= limit) full
+    else {
+      val keep = limit.toDouble / predicted
+      val h = conv(substring(md5(col("docId").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      full.where(pmod(h, lit(1000000L)) < math.floor(keep * 1e6).toLong)
+    }
+  }
+
+  /** df-based result-size prediction (predictNumberResult,
+    * src/rumdatapage.c:450): AND-ish queries bound by the rarest required
+    * key's df; pure OR by the sum of positive keys' dfs; capped at numDocs.
+    */
+  private def predictResults(cq: CompiledQuery): Long = {
+    val req = SearchKernel.requiredKeys(cq)
+    val idx = if (req.nonEmpty) req else SearchKernel.positiveKeys(cq)
+    if (idx.isEmpty) return meta.numDocs
+    val terms = idx.map(cq.keys(_)).filterNot(_.prefix).map(_.term)
+    if (terms.isEmpty) return meta.numDocs
+    val dfs = statsDF.where(col("term").isin(terms.toSeq: _*))
+      .select("df").collect().map(_.getLong(0))
+    val est =
+      if (req.nonEmpty) (if (dfs.isEmpty) 0L else dfs.min)
+      else dfs.sum
+    math.min(est, meta.numDocs)
+  }
+
   /** Matching docs with their attached-column value (docId, addon) — the
     * addon rides in the posting payload so no corpus join happens
     * (RUM addon ops, README.md:158-196). Feed this to Column expressions

@@ -86,6 +86,20 @@ class FastScanSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy limit sampling: deterministic subset sized by df prediction") {
+    val full = searcher.matchingDocs("common & even").as[Long].collect().toSet
+    assert(full.size == nDocs / 2)
+    val s1 = searcher.matchingDocsSampled("common & even", 100).as[Long].collect().toSet
+    val s2 = searcher.matchingDocsSampled("common & even", 100).as[Long].collect().toSet
+    assert(s1 == s2) // deterministic — no RNG state
+    assert(s1.subsetOf(full))
+    // prediction = df(even) = 1250; keep ≈ 100/1250 → expect ~100 ± noise
+    assert(s1.size > 40 && s1.size < 250, s"got ${s1.size}")
+    // under-limit queries pass through whole
+    val small = searcher.matchingDocsSampled("rare7 & common", 10000).as[Long].collect().toSet
+    assert(small == bruteMatches("rare7 & common"))
+  }
+
   test("requiredKeys shapes") {
     def req(q: String): Set[String] = {
       val cq = CompiledQuery.compile(TsQueryParser.parse(q))
