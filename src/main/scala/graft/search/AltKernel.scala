@@ -145,9 +145,66 @@ object AltKernel extends Serializable {
         builder.result()
       }
     }
+    /** Prefix expansion: union ALL matching terms' entries; equal
+      * (addon, docId) composites merge their payloads — tf sums, position
+      * lists interleave — exactly the primary path's UnionCursor semantics
+      * (rum_ts_join_pos, src/rum_ts_utils.c:1564-1645).
+      */
+    def mergedUnion(rs: Seq[PostingRow]): Array[PostingBlock] = {
+      val all = mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Array[Byte])]
+      rs.foreach { r =>
+        r.blocks.foreach { b =>
+          val d = PostingBlocks.decode(b)
+          var j = 0
+          while (j < d.n) {
+            all += ((d.keys(j), d.subs(j), d.tfs(j), d.lens(j), d.rawPositionsAt(j)))
+            j += 1
+          }
+        }
+      }
+      val sorted = all.sortBy(t => (t._1, t._2))
+      val builder = new PostingListBuilder(allowTies = true)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1 &&
+               sorted(j)._2 == sorted(i)._2) j += 1
+        if (j == i + 1) {
+          val (k, s, tf, len, pos) = sorted(i)
+          builder.add(k, tf, len, pos, s)
+        } else {
+          // union the tie run: sum tf, merge (pos, wclass) streams
+          var tf = 0
+          val merged = mutable.ArrayBuffer.empty[(Int, Byte)]
+          var m = i
+          while (m < j) {
+            tf += sorted(m)._3
+            val (ps, ws) = graft.core.PositionCodec.decode(sorted(m)._5)
+            var x = 0
+            while (x < ps.length) { merged += ((ps(x), ws(x))); x += 1 }
+            m += 1
+          }
+          val byPos = merged.sortBy(_._1)
+          // dedup equal positions (same term re-inserted across runs)
+          val dp = mutable.ArrayBuffer.empty[(Int, Byte)]
+          byPos.foreach { pw => if (dp.isEmpty || dp.last._1 != pw._1) dp += pw }
+          builder.add(sorted(i)._1, tf, sorted(i)._4,
+            graft.core.PositionCodec.encode(dp.map(_._1).toArray, dp.map(_._2).toArray),
+            sorted(i)._2)
+        }
+        i = j
+      }
+      builder.result()
+    }
+
     keys.map { k =>
-      // prefix keys never reach the alt path (Searcher gates on them)
-      byTerm.get(k.term).map(merged).getOrElse(Array.empty[PostingBlock])
+      if (!k.prefix)
+        byTerm.get(k.term).map(merged).getOrElse(Array.empty[PostingBlock])
+      else {
+        val rows = byTerm.keysIterator.filter(_.startsWith(k.term))
+          .flatMap(byTerm(_)).toSeq
+        if (rows.isEmpty) Array.empty[PostingBlock] else mergedUnion(rows)
+      }
     }
   }
 

@@ -197,12 +197,13 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * Distance is in raw addon units; ties break on docId like RUM's TID
     * tie-break. One-sided misses sort last with infinite distance.
     */
-  /** True when the alt-order layout can serve this query: layout present,
-    * candidates drivable from required keys, no prefix expansion.
+  /** True when the alt-order layout can serve this query: layout present
+    * and candidates drivable from required keys (prefix keys included —
+    * AltKernel position-unions the expansion).
     */
   private def altServes(cq: CompiledQuery): Boolean =
     meta.altOrder && !SearchKernel.needsFullScan(cq) &&
-      SearchKernel.requiredKeys(cq).nonEmpty && cq.keys.forall(!_.prefix)
+      SearchKernel.requiredKeys(cq).nonEmpty
 
   def topKAddon(queryStr: String, c: Long, op: String, k: Int): DataFrame = {
     val cq = compile(queryStr)

@@ -21,6 +21,8 @@ class AltOrderSpec extends AnyFunSuite {
     sb.append("every ")
     if (i % 2 == 0) sb.append("half ")
     if (i % 50 == 0) sb.append("sparse ")
+    if (i % 4 == 0) sb.append("px1 px2 ") // two same-prefix terms, one doc
+    if (i % 6 == 0) sb.append("px3 ")
     sb.append(s"tail${i % 5}")
     sb.toString
   }
@@ -51,6 +53,19 @@ class AltOrderSpec extends AnyFunSuite {
       val p = rows(plainIdx.topKAddon(q, c, op, 9))
       assert(a == p, s"op=$op q='$q': alt=$a plain=$p")
     }
+  }
+
+  test("prefix keys through the alt path: expansion position-union parity") {
+    val c = 17770L
+    for (op <- Seq("both", "left", "right"); q <- Seq("px:* & half", "px:* & !half & every")) {
+      val a = rows(altIdx.topKAddon(q, c, op, 7))
+      val p = rows(plainIdx.topKAddon(q, c, op, 7))
+      assert(a == p, s"op=$op q='$q': alt=$a plain=$p")
+    }
+    // phrase over the expansion needs the merged positions: px1@k px2@k+1
+    val a2 = rows(altIdx.topKAddon("px:* <-> px2", c, "both", 6))
+    val p2 = rows(plainIdx.topKAddon("px:* <-> px2", c, "both", 6))
+    assert(a2 == p2 && a2.nonEmpty)
   }
 
   test("alt range scan equals filter over all matches") {
