@@ -115,6 +115,56 @@ object IndexBuilder {
     attach = if (meta.attachCol.isEmpty) None else Some(meta.attachCol),
     keyKind = meta.keyKind, altOrder = meta.altOrder)
 
+  /** Relative paths of all parquet part files under `dir` (the listing
+    * committed into the manifest — Iceberg-snapshot style).
+    */
+  private def listParquet(dir: String): List[String] = {
+    val base = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(base)) return Nil
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val stream = java.nio.file.Files.walk(base)
+    try {
+      stream.forEach { p =>
+        if (p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
+          out += base.relativize(p).toString
+      }
+    } finally stream.close()
+    out.toList.sorted
+  }
+
+  private def datasetDir(indexDir: String, kind: String): String = kind match {
+    case "postings" => SegmentCatalog.postingsDir(indexDir)
+    case "alt" => SegmentCatalog.altDir(indexDir)
+    case "docs" => SegmentCatalog.docsDir(indexDir)
+    case "stats" => SegmentCatalog.statsDir(indexDir)
+  }
+
+  private def schemaOf(kind: String): org.apache.spark.sql.types.StructType = kind match {
+    case "postings" | "alt" => org.apache.spark.sql.Encoders.product[PostingRow].schema
+    case "docs" => org.apache.spark.sql.Encoders.product[DocRow].schema
+    case "stats" => org.apache.spark.sql.Encoders.product[TermStat].schema
+  }
+
+  /** Read a dataset through its manifest file listing: exactly the files
+    * the atomic commit covers — data from a crashed or replayed write is
+    * invisible. Legacy manifests (no listing) fall back to a directory
+    * read; an empty listing yields an empty frame.
+    */
+  def readDataset(spark: SparkSession, indexDir: String, meta: IndexMeta,
+                  kind: String): DataFrame =
+    readFiles(spark, datasetDir(indexDir, kind), meta.dataFiles.get(kind), schemaOf(kind))
+
+  private def readFiles(spark: SparkSession, dir: String, files: Option[List[String]],
+                        schema: org.apache.spark.sql.types.StructType): DataFrame =
+    files match {
+      case Some(Nil) =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      case Some(fs) =>
+        spark.read.option("basePath", dir).schema(schema)
+          .parquet(fs.map(f => s"$dir/$f"): _*)
+      case None => spark.read.schema(schema).parquet(dir)
+    }
+
   private def deleteRecursively(path: String): Unit = {
     val f = new java.io.File(path)
     if (f.exists()) {
@@ -348,14 +398,15 @@ object IndexBuilder {
     */
   private def refresh(spark: SparkSession, indexDir: String, params: Params,
                       buildMs: Long, lineage: String,
-                      lastBatchId: Long = -1L, fields: String = ""): IndexMeta = {
+                      lastBatchId: Long = -1L, fields: String = "",
+                      dataFiles: Map[String, List[String]] = Map.empty): IndexMeta = {
     // top-level ndocs/maxTf columns mean this pass never touches the fat
     // `blocks` column — parquet column pruning keeps the stats refresh a
     // metadata-sized read, not a full index re-read. Explicit schemas keep
-    // the zero-file case (buildempty) readable.
-    val allPostings = spark.read
-      .schema(org.apache.spark.sql.Encoders.product[PostingRow].schema)
-      .parquet(SegmentCatalog.postingsDir(indexDir))
+    // the zero-file case (buildempty) readable; reads go through the
+    // file listing being committed, so orphans never enter the stats.
+    val allPostings = readFiles(spark, SegmentCatalog.postingsDir(indexDir),
+        dataFiles.get("postings"), schemaOf("postings"))
       .select("shard", "term", "ndocs", "maxTf")
     val cells = allPostings
       .groupBy("shard", "term")
@@ -374,9 +425,8 @@ object IndexBuilder {
       .toList
     cells.unpersist()
 
-    val allDocs = spark.read
-      .schema(org.apache.spark.sql.Encoders.product[DocRow].schema)
-      .parquet(SegmentCatalog.docsDir(indexDir))
+    val allDocs = readFiles(spark, SegmentCatalog.docsDir(indexDir),
+      dataFiles.get("docs"), schemaOf("docs"))
     val r = allDocs.agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
     val (numDocs, totalTokens) = (r.getLong(0), r.getLong(1))
 
@@ -396,7 +446,8 @@ object IndexBuilder {
       lastBatchId = lastBatchId,
       keyKind = params.keyKind,
       altOrder = params.altOrder,
-      fields = fields)
+      fields = fields,
+      dataFiles = dataFiles + ("stats" -> listParquet(SegmentCatalog.statsDir(indexDir))))
     SegmentCatalog.save(indexDir, meta)
     meta
   }
@@ -457,8 +508,19 @@ object IndexBuilder {
 
     val buildMs = System.currentTimeMillis() - t0
     val lineage = corpus.queryExecution.logical.toString.linesIterator.take(1).mkString
-    refresh(spark, indexDir, params, buildMs, lineage)
+    refresh(spark, indexDir, params, buildMs, lineage,
+      dataFiles = currentListing(indexDir, params))
   }
+
+  /** Full on-disk listing — valid when the writer owns the directories
+    * (fresh build / resume with uncommitted shards wiped / post-compact).
+    */
+  private def currentListing(indexDir: String, params: Params): Map[String, List[String]] =
+    Map(
+      "postings" -> listParquet(SegmentCatalog.postingsDir(indexDir)),
+      "docs" -> listParquet(SegmentCatalog.docsDir(indexDir))) ++
+      (if (params.altOrder) Map("alt" -> listParquet(SegmentCatalog.altDir(indexDir)))
+       else Map.empty)
 
   /** Multi-column build — one index over several text columns with
     * field-prefixed keys (the attnum key prefix of the reference's
@@ -505,7 +567,8 @@ object IndexBuilder {
     val buildMs = System.currentTimeMillis() - t0
     val lineage = s"multicol(${fields.map(_._1).mkString(",")})"
     refresh(spark, indexDir, params, buildMs, lineage,
-      fields = fields.map(_._1).mkString(","))
+      fields = fields.map(_._1).mkString(","),
+      dataFiles = currentListing(indexDir, params))
   }
 
   /** Incremental insert: append a micro-segment per shard for new docs
@@ -523,6 +586,17 @@ object IndexBuilder {
     val params = paramsOf(meta)
     val todo = normalize(newCorpus, docIdCol, textCol, params)
 
+    // committed listing + exactly this commit's new files: a crashed
+    // earlier append's orphan part files (written but never manifested)
+    // stay invisible forever
+    def before(kind: String): (Set[String], List[String]) = {
+      val disk = listParquet(datasetDir(indexDir, kind)).toSet
+      (disk, meta.dataFiles.getOrElse(kind, disk.toList))
+    }
+    val (postDisk, postCommitted) = before("postings")
+    val (altDisk, altCommitted) = before("alt")
+    val (docsDisk, docsCommitted) = before("docs")
+
     packDataset(spark, explodedOf(todo, params), params)
       .write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.postingsDir(indexDir))
@@ -535,10 +609,21 @@ object IndexBuilder {
       .write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.docsDir(indexDir))
 
+    val dataFiles = Map(
+      "postings" -> (postCommitted ++
+        listParquet(SegmentCatalog.postingsDir(indexDir)).filterNot(postDisk)),
+      "docs" -> (docsCommitted ++
+        listParquet(SegmentCatalog.docsDir(indexDir)).filterNot(docsDisk))) ++
+      (if (params.altOrder)
+        Map("alt" -> (altCommitted ++
+          listParquet(SegmentCatalog.altDir(indexDir)).filterNot(altDisk)))
+       else Map.empty)
+
     val buildMs = System.currentTimeMillis() - t0
     val lineage = s"append(${newCorpus.queryExecution.logical.toString.linesIterator.take(1).mkString})"
     refresh(spark, indexDir, params, buildMs, lineage,
-      lastBatchId = math.max(meta.lastBatchId, batchId))
+      lastBatchId = math.max(meta.lastBatchId, batchId),
+      dataFiles = dataFiles)
   }
 
   /** Delete docs by id — the vacuum/bulkdelete path (src/rumvacuum.c):
@@ -561,7 +646,7 @@ object IndexBuilder {
       .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
     val params = paramsOf(meta)
 
-    val decoded: DataFrame = spark.read.parquet(SegmentCatalog.postingsDir(indexDir))
+    val decoded: DataFrame = readDataset(spark, indexDir, meta, "postings")
       .as[PostingRow]
       .flatMap { row =>
         val cur = new PostingCursor(Iterator(row.blocks))
@@ -594,7 +679,7 @@ object IndexBuilder {
 
     val tmpDocs = SegmentCatalog.docsDir(indexDir) + ".tmp"
     deleteRecursively(tmpDocs)
-    val docs = spark.read.parquet(SegmentCatalog.docsDir(indexDir))
+    val docs = readDataset(spark, indexDir, meta, "docs")
     val keptDocs = excludeIds match {
       case Some(ids) => docs.join(ids, Seq("docId"), "left_anti")
       case None => docs
@@ -615,6 +700,7 @@ object IndexBuilder {
 
     val buildMs = System.currentTimeMillis() - t0
     refresh(spark, indexDir, params, buildMs, s"compact(exclude=${exclude.isDefined})",
-      lastBatchId = meta.lastBatchId, fields = meta.fields)
+      lastBatchId = meta.lastBatchId, fields = meta.fields,
+      dataFiles = currentListing(indexDir, params))
   }
 }

@@ -44,7 +44,16 @@ final case class IndexMeta(
     /** comma-separated field names of a multi-column index ("" = single
       * text column); keys are field-prefixed, see IndexBuilder.fieldKey
       */
-    fields: String = "") {
+    fields: String = "",
+    /** Iceberg-snapshot-style data-file listing per dataset
+      * ("postings" | "alt" | "docs" | "stats" → relative parquet paths).
+      * Readers scan exactly these files, so data written by a crashed or
+      * replayed commit is invisible until the atomic manifest move that
+      * covers it — this closes the at-least-once replay window entirely
+      * (orphaned part files are garbage, not duplicates). Empty map =
+      * legacy manifest → whole-directory reads.
+      */
+    dataFiles: Map[String, List[String]] = Map.empty) {
   def committedShards: Set[Int] = shards.map(_.shard).toSet
   def isComplete: Boolean = committedShards.size == nShards
 }
@@ -86,6 +95,9 @@ object SegmentCatalog {
     meta.shards.sortBy(_.shard).foreach { s =>
       sb.append(s"shard=${s.shard},${s.terms},${s.chunkRows},${s.postings},${s.buildMs},${s.committedAtMs}\n")
     }
+    meta.dataFiles.toSeq.sortBy(_._1).foreach { case (kind, files) =>
+      files.sorted.foreach(f => sb.append(s"dfile=$kind,$f\n"))
+    }
     val p = metaPath(indexDir)
     Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling("manifest.txt.tmp")
@@ -103,6 +115,7 @@ object SegmentCatalog {
     val lines = Files.readAllLines(p)
     val kv = scala.collection.mutable.Map.empty[String, String]
     val shards = scala.collection.mutable.ListBuffer.empty[ShardMeta]
+    val dfiles = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ListBuffer[String]]
     lines.forEach { line =>
       val eq = line.indexOf('=')
       if (eq > 0) {
@@ -110,6 +123,10 @@ object SegmentCatalog {
         if (k == "shard") {
           val f = v.split(",")
           shards += ShardMeta(f(0).toInt, f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong)
+        } else if (k == "dfile") {
+          val c = v.indexOf(',')
+          dfiles.getOrElseUpdate(v.substring(0, c), scala.collection.mutable.ListBuffer.empty) +=
+            v.substring(c + 1)
         } else kv(k) = v
       }
     }
@@ -129,6 +146,7 @@ object SegmentCatalog {
       lastBatchId = kv.getOrElse("lastBatchId", "-1").toLong,
       keyKind = kv.getOrElse("keyKind", "text"),
       altOrder = kv.getOrElse("altOrder", "false").toBoolean,
-      fields = kv.getOrElse("fields", "")))
+      fields = kv.getOrElse("fields", ""),
+      dataFiles = dfiles.map { case (k, v) => k -> v.toList }.toMap))
   }
 }

@@ -32,26 +32,22 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   // lazy vals: file listing + schema inference happen once per Searcher,
   // not once per query — repeated InMemoryFileIndex listings serialize
   // concurrent queries on the driver
-  // explicit schemas keep zero-file layouts (buildempty) readable
-  private val postingSchema = org.apache.spark.sql.Encoders.product[PostingRow].schema
-  private val docSchema = org.apache.spark.sql.Encoders.product[DocRow].schema
-  private val statSchema = org.apache.spark.sql.Encoders.product[graft.build.TermStat].schema
-
+  // All reads go through the manifest's data-file listing (snapshot
+  // isolation: only committed files are visible) with explicit schemas so
+  // zero-file layouts (buildempty) stay readable.
   private lazy val postings: Dataset[PostingRow] =
-    spark.read.schema(postingSchema)
-      .parquet(SegmentCatalog.postingsDir(indexDir)).as[PostingRow]
+    graft.build.IndexBuilder.readDataset(spark, indexDir, meta, "postings").as[PostingRow]
 
   /** (addon, docId)-ordered posting copy (order_by_attach layout). */
   private lazy val altPostings: Dataset[PostingRow] =
-    spark.read.schema(postingSchema)
-      .parquet(SegmentCatalog.altDir(indexDir)).as[PostingRow]
+    graft.build.IndexBuilder.readDataset(spark, indexDir, meta, "alt").as[PostingRow]
 
   private lazy val docs: Dataset[DocRow] =
-    spark.read.schema(docSchema).parquet(SegmentCatalog.docsDir(indexDir))
+    graft.build.IndexBuilder.readDataset(spark, indexDir, meta, "docs")
       .select(col("shard"), col("docId"), col("len"), col("addon")).as[DocRow]
 
   private lazy val statsDF: DataFrame =
-    spark.read.schema(statSchema).parquet(SegmentCatalog.statsDir(indexDir))
+    graft.build.IndexBuilder.readDataset(spark, indexDir, meta, "stats")
 
   /** term predicate for the parquet scan — exact terms via IN (dictionary/
     * stats pruning), prefixes via range [p, p+MAXCHAR).

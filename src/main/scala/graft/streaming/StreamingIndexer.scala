@@ -17,10 +17,11 @@ import graft.build.{IndexBuilder, SegmentCatalog}
   * ([[graft.build.IndexMeta.lastBatchId]]); a batch redelivered after a
   * crash (append committed, streaming checkpoint not yet) is detected as
   * `batchId <= lastBatchId` and skipped — the standard exactly-once guard.
-  * Remaining window: a crash after the parquet write but before the
-  * manifest commit replays the data files; run [[IndexBuilder.compact]]
-  * after crash recovery to restore exact state (postings dedup keep-first
-  * on docId, so queries stay correct meanwhile except df/tf stats).
+  * The other crash window (parquet written, manifest commit lost) is
+  * closed by the manifest's data-file listing
+  * ([[graft.build.IndexMeta.dataFiles]]): readers and later commits see
+  * only listed files, so a replayed write's earlier part files stay
+  * invisible orphans (compact garbage-collects them).
   * Query-side k-way merge over overlapping chunk ranges (micro-segments)
   * means readers never block on ingest; [[IndexBuilder.compact]] restores
   * single-run layout out-of-band.

@@ -218,6 +218,36 @@ class IndexSpec extends AnyFunSuite {
     assert(s1.count("hello & world") == 1)
   }
 
+  test("orphan data files are invisible (manifest file-listing snapshot)") {
+    // simulate a crashed/replayed write: a part file lands on disk but its
+    // commit never reached the manifest — readers and later commits must
+    // not see it (the Iceberg-snapshot guarantee)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orphanidx").toString
+    IndexBuilder.build(spark,
+      Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, IndexBuilder.Params(nShards = 2))
+    def dup(kind: String): Unit = {
+      val base = java.nio.file.Paths.get(dir, kind)
+      val part = java.nio.file.Files.walk(base).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part,
+        part.resolveSibling("part-orphan-" + part.getFileName))
+    }
+    dup("postings")
+    dup("docs")
+    val s = new Searcher(spark, dir)
+    assert(s.count("alpha") == 2)
+    // termPostings has no dedup — a visible orphan would double its rows
+    assert(s.termPostings("alpha").count() == 2)
+    // a later commit (append) must not adopt the orphans either
+    val m2 = IndexBuilder.append(spark, Seq((3L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(m2.numDocs == 3, s"orphan docs leaked into stats: ${m2.numDocs}")
+    val s2 = new Searcher(spark, dir)
+    assert(s2.termPostings("alpha").count() == 3)
+  }
+
   test("manifest stats are sane") {
     val m = searcher.meta
     assert(m.numDocs == 52)
