@@ -28,6 +28,20 @@ object CoverRank {
   private val InvWeights: Array[Double] = Array(10.0, 5.0, 2.5, 1.0)
   private val Zeta2 = 1.64493406685
 
+  /** Normalization method flags (reference src/rum_ts_utils.c:137-142;
+    * applied EXTDIST→RDIVRPLUS1 inside the cover loop's epilogue, then
+    * LOGLENGTH→LENGTH→UNIQ→LOGUNIQ outside, src/rum_ts_utils.c:1317-1320,
+    * 1383-1399). UNIQ/LOGUNIQ need the doc's distinct-lexeme count, which
+    * callers must supply (the index stores token counts, not distinct
+    * counts — index-side rank paths reject those flags).
+    */
+  val NormLogLength = 0x01
+  val NormLength = 0x02
+  val NormExtDist = 0x04
+  val NormUniq = 0x08
+  val NormLogUniq = 0x10
+  val NormRDivRPlus1 = 0x20
+
   /** One occurrence of a query key in the doc. */
   private final case class Occ(pos: Int, wclass: Int, keyIdx: Int)
 
@@ -38,7 +52,8 @@ object CoverRank {
     */
   def score(cq: CompiledQuery,
             keyPositions: Array[Array[Int]],
-            keyWclasses: Array[Array[Byte]]): Double = {
+            keyWclasses: Array[Array[Byte]],
+            method: Int = 0, docLen: Int = 0, nUniq: Int = 0): Double = {
     // ---- build the doc representation: merged occurrence list by pos ----
     var total = 0
     var k = 0
@@ -91,6 +106,10 @@ object CoverRank {
     val coverSlots = scala.collection.mutable.HashMap.empty[Vector[Int], Int]
     val coverLens = scala.collection.mutable.ArrayBuffer.empty[Int]
     val coverRanks = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // extent-distance accumulators (calc_score_docr, rum_ts_utils.c:1300-1310)
+    var nExtent = 0
+    var sumDist = 0.0
+    var prevExtPos = 0.0
 
     var extPos = 0
     var running = true
@@ -176,17 +195,37 @@ object CoverRank {
         coverLens(slot) += 1
         val l = coverLens(slot).toDouble
         coverRanks(slot) += cpos / (1 + nNoise) / (l * l) / Zeta2
+
+        val curExtPos = (q + p).toDouble / 2.0
+        if (nExtent > 0 && curExtPos > prevExtPos)
+          sumDist += 1.0 / (curExtPos - prevExtPos)
+        prevExtPos = curExtPos
+        nExtent += 1
       }
     }
 
-    coverRanks.sum
+    var wdoc = coverRanks.sum
+    if ((method & NormExtDist) != 0 && nExtent > 0 && sumDist > 0)
+      wdoc /= nExtent.toDouble / sumDist
+    if ((method & NormRDivRPlus1) != 0)
+      wdoc /= wdoc + 1
+    if ((method & NormLogLength) != 0 && docLen > 0)
+      wdoc /= math.log(docLen + 1.0)
+    if ((method & NormLength) != 0 && docLen > 0)
+      wdoc /= docLen.toDouble
+    if ((method & NormUniq) != 0 && nUniq > 0)
+      wdoc /= nUniq.toDouble
+    if ((method & NormLogUniq) != 0 && nUniq > 0)
+      wdoc /= math.log(nUniq + 1.0) / math.log(2.0)
+    wdoc
   }
 
   /** distance = 1/score with float4 rounding parity (∞ at score 0). */
   def distance(cq: CompiledQuery,
                keyPositions: Array[Array[Int]],
-               keyWclasses: Array[Array[Byte]]): Float = {
-    val s = score(cq, keyPositions, keyWclasses).toFloat
+               keyWclasses: Array[Array[Byte]],
+               method: Int = 0, docLen: Int = 0, nUniq: Int = 0): Float = {
+    val s = score(cq, keyPositions, keyWclasses, method, docLen, nUniq).toFloat
     if (s == 0.0f) Float.PositiveInfinity else 1.0f / s
   }
 }

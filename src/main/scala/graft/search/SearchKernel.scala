@@ -315,7 +315,8 @@ object SearchKernel extends Serializable {
     * Returns (docId, distance) — distance 0.0 when score=false.
     */
   def matchShard(cq: CompiledQuery, keys: Array[KeySpec], rows: Iterator[PostingRow],
-                 score: Boolean, k: Int): Iterator[(Long, Double, Long)] = {
+                 score: Boolean, k: Int,
+                 method: Int = 0): Iterator[(Long, Double, Long)] = {
     val cursors = buildCursors(keys, rows)
     // fast scan: when some keys are required in every match, candidates
     // come from their seek-join intersection (far fewer consistency checks
@@ -326,7 +327,7 @@ object SearchKernel extends Serializable {
     val cands =
       if (reqIdx.nonEmpty) intersectionStream(cursors, reqIdx)
       else candidateStream(cursors, positiveKeys(cq))
-    driver(cq, cursors, cands, score, matchOnly = true, k)
+    driver(cq, cursors, cands, score, matchOnly = true, k, method = method)
   }
 
   /** Full-corpus scan driver (scanGetItemFull, src/rumget.c:2024-2083):
@@ -334,11 +335,14 @@ object SearchKernel extends Serializable {
     */
   def fullScanShard(cq: CompiledQuery, keys: Array[KeySpec], docIt: Iterator[DocRow],
                     rows: Iterator[PostingRow], score: Boolean, matchOnly: Boolean,
-                    k: Int): Iterator[(Long, Double, Long)] = {
+                    k: Int, method: Int = 0): Iterator[(Long, Double, Long)] = {
     val cursors = buildCursors(keys, rows)
     val addons = mutable.LongMap.empty[Long] // populated lazily per candidate
-    driver(cq, cursors, docIt.map { d => addons(d.docId) = d.addon; d.docId },
-      score, matchOnly, k, addonOf = id => addons.remove(id).getOrElse(0L))
+    val lens = mutable.LongMap.empty[Int]
+    driver(cq, cursors,
+      docIt.map { d => addons(d.docId) = d.addon; lens(d.docId) = d.len; d.docId },
+      score, matchOnly, k, addonOf = id => addons.remove(id).getOrElse(0L),
+      lenOf = id => lens.remove(id).getOrElse(0), method = method)
   }
 
   /** Candidate docIds = ascending union of the given key streams.
@@ -396,7 +400,8 @@ object SearchKernel extends Serializable {
 
   private def driver(cq: CompiledQuery, cursors: Array[KeyCursor], cands: Iterator[Long],
                      score: Boolean, matchOnly: Boolean, k: Int,
-                     addonOf: Long => Long = null): Iterator[(Long, Double, Long)] = {
+                     addonOf: Long => Long = null, lenOf: Long => Int = null,
+                     method: Int = 0): Iterator[(Long, Double, Long)] = {
     val provider = new CursorProvider(cursors)
     val out = mutable.ArrayBuffer.empty[(Long, Double, Long)]
     val heap = if (k > 0 && score) new TopKHeap(k) else null
@@ -429,7 +434,18 @@ object SearchKernel extends Serializable {
             val kw = new Array[Array[Byte]](cq.numKeys)
             var j = 0
             while (j < cq.numKeys) { kp(j) = provider.positions(j); kw(j) = provider.wclasses(j); j += 1 }
-            CoverRank.distance(cq, kp, kw).toDouble
+            // doc length for length norms: docs stream if present, else
+            // any posting cursor at the candidate carries it
+            var dlen = if (lenOf != null) lenOf(cand) else 0
+            if (dlen == 0) {
+              var m = 0
+              while (m < cursors.length && dlen == 0) {
+                val c = cursors(m)
+                if (!c.done && c.docId == cand) dlen = c.docLen
+                m += 1
+              }
+            }
+            CoverRank.distance(cq, kp, kw, method, dlen).toDouble
           }
         if (heap != null) heap.offer(d, cand, addon) else out += ((cand, d, addon))
       }

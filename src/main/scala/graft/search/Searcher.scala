@@ -256,17 +256,24 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * With matchOnly=false behaves like order-only scan over all docs
     * (EVERYTHING mode): non-matching docs carry infinite distance.
     */
-  def topKCover(queryStr: String, k: Int, matchOnly: Boolean = true): DataFrame = {
+  /** `method` = rank-normalization flags (CoverRank.Norm*); UNIQ flags
+    * need per-doc distinct-lexeme counts the index does not store.
+    */
+  def topKCover(queryStr: String, k: Int, matchOnly: Boolean = true,
+                method: Int = 0): DataFrame = {
+    require((method & (CoverRank.NormUniq | CoverRank.NormLogUniq)) == 0,
+      "UNIQ norms need distinct-lexeme counts (not stored index-side); " +
+        "use CoverRank.score directly with nUniq")
     val cq = compile(queryStr)
     val base =
       if (!matchOnly || SearchKernel.needsFullScan(cq))
-        fullScan(cq, score = true, matchOnly = matchOnly, k = k)
+        fullScan(cq, score = true, matchOnly = matchOnly, k = k, method = method)
       else {
         val keys = SearchKernel.keySpecs(cq)
         postings.where(termPredicate(cq))
           .groupByKey(_.shard)
           .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
-            SearchKernel.matchShard(cq, keys, it, score = true, k = k))
+            SearchKernel.matchShard(cq, keys, it, score = true, k = k, method = method))
           .toDF("docId", "distance", "addon").select("docId", "distance")
       }
     base.select("docId", "distance")
@@ -331,13 +338,14 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * src/rumget.c:2024-2083): candidate stream = docs table per shard,
     * sorted by docId; posting cursors pulled along for scoring.
     */
-  private def fullScan(cq: CompiledQuery, score: Boolean, matchOnly: Boolean, k: Int): DataFrame = {
+  private def fullScan(cq: CompiledQuery, score: Boolean, matchOnly: Boolean, k: Int,
+                       method: Int = 0): DataFrame = {
     val keys = SearchKernel.keySpecs(cq)
     val docsG = docs.groupByKey(_.shard)
     val postG = postings.where(termPredicate(cq)).groupByKey(_.shard)
     docsG.cogroupSorted(postG)(col("docId").asc)(col("term").asc)(
       (shard: Int, docIt: Iterator[DocRow], postIt: Iterator[PostingRow]) =>
-        SearchKernel.fullScanShard(cq, keys, docIt, postIt, score, matchOnly, k))
+        SearchKernel.fullScanShard(cq, keys, docIt, postIt, score, matchOnly, k, method))
       .toDF("docId", "distance", "addon")
   }
 }

@@ -86,6 +86,35 @@ class CoverRankSpec extends AnyFunSuite {
     assert(approx(d, (1.64493406685 * 11 / 4).toFloat), s"got $d")
   }
 
+  test("normalization methods (reference flags rum_ts_utils.c:137-142)") {
+    val cq = CompiledQuery.compile(TsQueryParser.parse("way"))
+    val kp = Array(Array(5))
+    val kw = Array(Array[Byte](0))
+    val base = CoverRank.score(cq, kp, kw) // 0.1/zeta2
+    // RDIVRPLUS1 (32): w/(w+1) → distance gains exactly +1
+    val d32 = CoverRank.distance(cq, kp, kw, method = CoverRank.NormRDivRPlus1)
+    assert(approx(d32, 16.4493f + 1))
+    // LOGLENGTH (1): /= ln(len+1)
+    val s1 = CoverRank.score(cq, kp, kw, method = CoverRank.NormLogLength, docLen = 19)
+    assert(math.abs(s1 - base / math.log(20.0)) < 1e-12)
+    // LENGTH (2): /= len
+    val s2 = CoverRank.score(cq, kp, kw, method = CoverRank.NormLength, docLen = 19)
+    assert(math.abs(s2 - base / 19.0) < 1e-12)
+    // UNIQ (8) / LOGUNIQ (16) from caller-supplied distinct count
+    val s8 = CoverRank.score(cq, kp, kw, method = CoverRank.NormUniq, nUniq = 6)
+    assert(math.abs(s8 - base / 6.0) < 1e-12)
+    val s16 = CoverRank.score(cq, kp, kw, method = CoverRank.NormLogUniq, nUniq = 6)
+    assert(math.abs(s16 - base / (math.log(7.0) / math.log(2.0))) < 1e-12)
+    // EXTDIST (4): two single-term covers at pos 2 and 10 → extents at
+    // 2 and 10, SumDist = 1/8, NExtent = 2 → score /= 2/(1/8) = 16;
+    // slot decay gives base*(1 + 1/4) before the norm
+    val s4 = CoverRank.score(cq, Array(Array(2, 10)), Array(Array[Byte](0, 0)),
+      method = CoverRank.NormExtDist)
+    assert(math.abs(s4 - base * 1.25 / 16.0) < 1e-12, s"got $s4")
+    // method 0 unchanged
+    assert(CoverRank.score(cq, kp, kw, method = 0, docLen = 19, nUniq = 6) == base)
+  }
+
   test("phrase query ranking: def <-> fgr") {
     val d = Map("def" -> Array(4), "fgr" -> Array(5))
     val dd = dist("def <-> fgr", d)

@@ -157,6 +157,25 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("rank normalization through the index path") {
+    import graft.query.CoverRank
+    val base = searcher.topKCover("way", 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // RDIVRPLUS1: 1/(w/(w+1)) = 1/w + 1 → every distance gains exactly 1
+    val d32 = searcher.topKCover("way", 4, method = CoverRank.NormRDivRPlus1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d32.keySet == base.keySet)
+    d32.foreach { case (id, d) => assert(math.abs(d - (base(id) + 1)) < 1e-3, s"doc $id") }
+    // LOGLENGTH: distance scales by ln(docLen+1), docLen from the payload
+    val lens = searcher.docLens.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val d1 = searcher.topKCover("way", 4, method = CoverRank.NormLogLength)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    d1.foreach { case (id, d) =>
+      assert(math.abs(d - base(id) * math.log(lens(id) + 1.0)) / d < 1e-5, s"doc $id")
+    }
+    intercept[IllegalArgumentException](searcher.topKCover("way", 4, method = CoverRank.NormUniq))
+  }
+
   test("BM25 of absent terms is empty") {
     assert(searcher.topKBm25(Seq("qqqqnope"), 5).collect().isEmpty)
   }
