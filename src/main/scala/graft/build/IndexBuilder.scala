@@ -626,6 +626,84 @@ object IndexBuilder {
       dataFiles = dataFiles)
   }
 
+  /** Index validation — the amvalidate analogue (reference:
+    * src/rumvalidate.c:35-353 checks opclass completeness; here the
+    * invariants are over segment tables): manifest completeness, listed
+    * data files present on disk, per-shard metrics consistent with the
+    * postings actually readable, global stats consistent with docs, and
+    * per-block structural invariants. Returns violations (empty = valid).
+    */
+  def validate(spark: SparkSession, indexDir: String): List[String] = {
+    import spark.implicits._
+    val issues = scala.collection.mutable.ListBuffer.empty[String]
+    val metaOpt = SegmentCatalog.load(indexDir)
+    if (metaOpt.isEmpty) return List("no manifest")
+    val meta = metaOpt.get
+    if (!meta.isComplete)
+      issues += s"incomplete: shards ${meta.committedShards.toList.sorted} of ${meta.nShards}"
+
+    meta.dataFiles.foreach { case (kind, files) =>
+      val dir = datasetDir(indexDir, kind)
+      files.foreach { f =>
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f)))
+          issues += s"missing $kind file: $f"
+      }
+    }
+    // read-based checks go through the surviving files so a missing file
+    // is reported (above) rather than thrown
+    val readable = meta.copy(dataFiles = meta.dataFiles.map { case (k, fs) =>
+      k -> fs.filter(f => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(datasetDir(indexDir, k), f)))
+    })
+
+    // per-shard metrics vs readable postings
+    val cells = readDataset(spark, indexDir, readable, "postings")
+      .select("shard", "term", "ndocs")
+      .groupBy("shard")
+      .agg(countDistinct("term").as("terms"), count(lit(1)).as("rows"),
+        sum("ndocs").as("postings"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    meta.shards.foreach { s =>
+      cells.get(s.shard) match {
+        case None => if (s.postings > 0) issues += s"shard ${s.shard}: no postings on disk"
+        case Some((terms, rows, postings)) =>
+          if (terms != s.terms || rows != s.chunkRows || postings != s.postings)
+            issues += s"shard ${s.shard}: manifest (${s.terms},${s.chunkRows},${s.postings}) " +
+              s"vs disk ($terms,$rows,$postings)"
+      }
+    }
+    if (cells.keySet.exists(sh => sh < 0 || sh >= meta.nShards))
+      issues += s"shard ids out of range: ${cells.keySet.filter(sh => sh < 0 || sh >= meta.nShards)}"
+
+    // docs vs global stats
+    val docsDF = readDataset(spark, indexDir, readable, "docs")
+    val dr = docsDF.agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
+    if (dr.getLong(0) != meta.numDocs)
+      issues += s"numDocs ${meta.numDocs} vs docs table ${dr.getLong(0)}"
+    if (dr.getLong(1) != meta.totalTokens)
+      issues += s"totalTokens ${meta.totalTokens} vs docs table ${dr.getLong(1)}"
+
+    // structural block invariants (full pass over headers, no payload decode)
+    val bad = readDataset(spark, indexDir, readable, "postings").as[PostingRow]
+      .flatMap { r =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (r.blocks.isEmpty) out += s"term ${r.term}: empty chunk"
+        r.blocks.foreach { b =>
+          if (b.n <= 0 || b.firstDoc > b.lastDoc)
+            out += s"term ${r.term}: bad block header (n=${b.n}, ${b.firstDoc}..${b.lastDoc})"
+        }
+        var i = 1
+        while (i < r.blocks.length) {
+          if (r.blocks(i).firstDoc <= r.blocks(i - 1).lastDoc)
+            out += s"term ${r.term}: non-ascending blocks at $i"
+          i += 1
+        }
+        out.iterator
+      }.take(20)
+    issues ++= bad
+    issues.toList
+  }
+
   /** Delete docs by id — the vacuum/bulkdelete path (src/rumvacuum.c):
     * postings are decoded, anti-joined against the delete set and
     * repacked. Implemented as [[compact]] with an exclusion set.

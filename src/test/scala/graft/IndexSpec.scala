@@ -237,6 +237,26 @@ class IndexSpec extends AnyFunSuite {
     assert(s1.count("hello & world") == 1)
   }
 
+  test("validate: clean index passes; corruption detected (amvalidate analogue)") {
+    import spark.implicits._
+    assert(IndexBuilder.validate(spark, indexDir).isEmpty, IndexBuilder.validate(spark, indexDir))
+    val dir3 = java.nio.file.Files.createTempDirectory("validx").toString
+    IndexBuilder.build(spark,
+      Seq((1L, "aa bb"), (2L, "aa cc")).toDF("doc_id", "text"),
+      "doc_id", "text", dir3, IndexBuilder.Params(nShards = 2))
+    assert(IndexBuilder.validate(spark, dir3).isEmpty)
+    // tamper the manifest stats
+    val m = SegmentCatalog.load(dir3).get
+    SegmentCatalog.save(dir3, m.copy(numDocs = m.numDocs + 1))
+    assert(IndexBuilder.validate(spark, dir3).exists(_.contains("numDocs")))
+    SegmentCatalog.save(dir3, m)
+    // delete a listed postings file
+    val f = m.dataFiles("postings").head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      SegmentCatalog.postingsDir(dir3), f))
+    assert(IndexBuilder.validate(spark, dir3).exists(_.contains("missing postings file")))
+  }
+
   test("orphan data files are invisible (manifest file-listing snapshot)") {
     // simulate a crashed/replayed write: a part file lands on disk but its
     // commit never reached the manifest — readers and later commits must
