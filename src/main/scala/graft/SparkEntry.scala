@@ -491,6 +491,25 @@ object SparkEntry {
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
         .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
     }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      // IVF-flat ANN: vectors carry their nearest-centroid cluster
+      // (the ingest-time partition key); the query probes the 2 nearest
+      // clusters of 8 and re-ranks candidates exactly — scanned fraction
+      // ~ nprobe/nClusters. Centroids deterministic (vec_id 0..7) so the
+      // oracle can verify assignment + probe + rerank end-to-end.
+      import graft.search.{AnnIvf, AnnLsh}
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val q = cents(0) // query = vec 0
+      val probes = AnnIvf.probeClusters(q, cents, 2)
+      AnnIvf.assign(emb, "embedding", cents)
+        .where(col("cluster").isin(probes: _*))
+        .select(col("vec_id"), round(AnnLsh.cosineTo(col("embedding"), q), 4).as("sim"),
+          col("cluster"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+    }),
     "dedup_embed_lsh" -> ((s, dir) => {
       // embedding-cosine near-dup with banded LSH blocking: candidate
       // pairs share a (table, bucket) cell (co-partitioned equi-join;
@@ -822,6 +841,32 @@ object SparkEntry {
         |SELECT d.vec_id, round(dot/(n.nrm*qn.qn),4) AS sim,
         |  row_number() OVER (ORDER BY round(dot/(n.nrm*qn.qn),4) DESC, d.vec_id) AS rank
         |FROM dots d JOIN nrm n USING(vec_id) CROSS JOIN qn
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+    // IVF oracle: centroids = vectors 0..7; per-vector assignment = argmax
+    // cosine (12-dec quantized, smaller cid ties); probe = query's top-2
+    // centroids; exact rerank inside probed clusters.
+    "ann_ivf_topk" -> (EmbCte +
+      """,
+        |cents AS (SELECT vec_id AS cid, i, x FROM elems WHERE vec_id < 8),
+        |cnrm AS (SELECT cid, sqrt(sum(x*x)) AS cn FROM cents GROUP BY 1),
+        |sims AS (SELECT v.vec_id, c.cid, round(sum(v.x*c.x)/(n.nrm*cn.cn), 12) AS s
+        |  FROM elems v JOIN cents c ON c.i=v.i
+        |  JOIN nrm n ON n.vec_id=v.vec_id JOIN cnrm cn ON cn.cid=c.cid
+        |  GROUP BY v.vec_id, c.cid, n.nrm, cn.cn),
+        |assign AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |  FROM sims) x WHERE rn=1),
+        |qprobe AS (SELECT cid FROM (
+        |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
+        |  FROM sims WHERE vec_id=0) x WHERE rn<=2),
+        |cand AS (SELECT a.vec_id, a.cluster FROM assign a JOIN qprobe p ON a.cluster=p.cid),
+        |qe AS (SELECT i, x FROM elems WHERE vec_id=0),
+        |qn AS (SELECT sqrt(sum(x*x)) AS qn FROM qe),
+        |dots AS (SELECT e.vec_id, sum(e.x*q.x) AS dot
+        |  FROM elems e JOIN qe q USING(i) JOIN cand c ON c.vec_id=e.vec_id GROUP BY 1)
+        |SELECT d.vec_id, round(dot/(n.nrm*qn.qn),4) AS sim, c.cluster,
+        |  row_number() OVER (ORDER BY round(dot/(n.nrm*qn.qn),4) DESC, d.vec_id) AS rank
+        |FROM dots d JOIN nrm n USING(vec_id) JOIN cand c USING(vec_id) CROSS JOIN qn
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
     "dedup_embed_lsh" -> (EmbCte +
       """,

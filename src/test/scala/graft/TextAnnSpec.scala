@@ -102,6 +102,26 @@ class TextAnnSpec extends AnyFunSuite {
       shingleJoin.mkString("\n"))
   }
 
+  test("ivf: total assignment, self-centroid probe, candidate pruning") {
+    import graft.search.AnnIvf
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 17 + d + 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = vecs.take(4).map(_._2).toArray
+    val assigned = AnnIvf.assign(df, "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(assigned.size == 40)
+    assert(assigned.values.forall(c => c >= 0 && c < 4)) // total partition
+    // a centroid's own vector assigns to itself (cosine 1.0 beats all)
+    for (c <- 0 until 4) assert(assigned(c.toLong) == c, s"centroid $c")
+    // probing the query's own centroid first
+    assert(AnnIvf.probeClusters(cents(2), cents, 2).head == 2)
+    // candidates = probed clusters only, a strict subset of the corpus
+    val probes = AnnIvf.probeClusters(cents(0), cents, 2).toSet
+    val cand = assigned.filter { case (_, c) => probes(c) }
+    assert(cand.nonEmpty && cand.size < 40)
+  }
+
   test("cosine kernels: exact on hand values") {
     val df = Seq((1L, Array(3.0f, 4.0f), Array(3.0f, 4.0f)),
       (2L, Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
