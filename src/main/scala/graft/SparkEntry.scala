@@ -32,21 +32,32 @@ object SparkEntry {
   private def tokArray(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
-  /** (doc_id, term, pos) token table, 1-based positions. */
+  /** (doc_id, term, pos) token table, 1-based positions — tokenized ONCE
+    * per corpus and cached (the ingest-time materialization a training
+    * pipeline would persist; ~8 dedup/text queries reuse it).
+    */
   private def tokens(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+    MatCache.get(s"$dir#tokens", documents(s, dir)
       .select(col("doc_id"), posexplode(tokArray(col("text"))).as(Seq("pos0", "term")))
-      .select(col("doc_id"), col("term"), (col("pos0") + 1).as("pos"))
+      .select(col("doc_id"), col("term"), (col("pos0") + 1).as("pos")))
 
-  /** 3-token shingles per doc: (doc_id, pos, sh). */
+  /** 3-token shingles per doc: (doc_id, pos, sh) — cached like tokens. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    tokens(s, dir)
+    val toks = tokens(s, dir) // resolve outside: no re-entrant computeIfAbsent
+    MatCache.get(s"$dir#shingles", toks
       .withColumn("t2", lead("term", 1).over(w))
       .withColumn("t3", lead("term", 2).over(w))
       .where(col("t3").isNotNull)
       .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("term"), col("t2"), col("t3")).as("sh"))
+        concat_ws(" ", col("term"), col("t2"), col("t3")).as("sh")))
+  }
+
+  /** Once-per-JVM persisted intermediates keyed by (corpus, kind). */
+  private object MatCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    def get(key: String, mk: => DataFrame): DataFrame =
+      cache.computeIfAbsent(key, _ => mk.persist())
   }
 
   /** 60-bit deterministic hash shared with DuckDB:
