@@ -66,37 +66,36 @@ object SparkEntry {
   private def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Per-(sfDir, tokenizer) index over documents, built once per JVM. */
+  /** Per-(sfDir, tokenizer) index over documents, built once per JVM.
+    * The Searcher instance itself is cached too — its lazy Datasets hold
+    * the file listings/footers so repeated queries re-plan, not re-list.
+    */
   private object IndexCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
     private def of(s: SparkSession, sfDir: String, tokenizer: String,
-                   keyKind: String = "text"): Searcher = {
-      val idxDir = cache.computeIfAbsent(s"$sfDir#$tokenizer#$keyKind", _ => {
+                   keyKind: String = "text"): Searcher =
+      cache.computeIfAbsent(s"$sfDir#$tokenizer#$keyKind", _ => {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
         IndexBuilder.build(s, documents(s, sfDir), "doc_id", "text", dir,
           IndexBuilder.Params(nShards = 8, tokenizer = tokenizer,
             attach = Some("n_chars"), keyKind = keyKind,
             altOrder = tokenizer == "simple" && keyKind == "text"))
-        dir
+        new Searcher(s, dir)
       })
-      new Searcher(s, idxDir)
-    }
     def searcher(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple")
     /** title-weighted variant: first 8 tokens carry class A. */
     def searcherW(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple_title8")
     /** hash-keyed variant (rum_tsvector_hash_ops). */
     def searcherH(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple", "hash")
     /** multi-column variant: fields (text, lang) with field-prefixed keys. */
-    def searcherM(s: SparkSession, sfDir: String): Searcher = {
-      val idxDir = cache.computeIfAbsent(s"$sfDir#multi", _ => {
+    def searcherM(s: SparkSession, sfDir: String): Searcher =
+      cache.computeIfAbsent(s"$sfDir#multi", _ => {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
         IndexBuilder.buildFields(s, documents(s, sfDir), "doc_id",
           Seq("text" -> "text", "lang" -> "lang"), dir,
           IndexBuilder.Params(nShards = 8))
-        dir
+        new Searcher(s, dir)
       })
-      new Searcher(s, idxDir)
-    }
   }
 
   private def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
