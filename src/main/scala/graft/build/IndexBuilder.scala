@@ -40,9 +40,10 @@ final case class RunRow(
 /** Per-doc row: shard + token count (BM25 length norm; also the full-scan
   * stream for match-all / order-only queries — RUM's EVERYTHING mode,
   * src/rumget.c:2024-2083). `addon` carries the attached column when the
-  * index was built with one (0 otherwise).
+  * index was built with one (0 otherwise); `uniq` is the distinct-lexeme
+  * count (tsvector size) the heap-side UNIQ rank norms divide by.
   */
-final case class DocRow(shard: Int, docId: Long, len: Int, addon: Long)
+final case class DocRow(shard: Int, docId: Long, len: Int, addon: Long, uniq: Int)
 
 /** Global per-term stats — RUM's predictNumberResult analogue
   * (src/rumdatapage.c:450); df/maxTf give WAND term upper bounds.
@@ -101,8 +102,8 @@ object IndexBuilder {
         */
       altOrder: Boolean = false) {
     def hash: String = {
-      // v4: code tokenizer emits def-site weight class A; simple_title8 added
-      val s = s"v4|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}|$keyKind|$altOrder"
+      // v5: docs table gains uniq (distinct-lexeme count for UNIQ norms)
+      val s = s"v5|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}|$keyKind|$altOrder"
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -183,6 +184,12 @@ object IndexBuilder {
   private def tokenCountFn(name: String): String => Int = name match {
     case "simple" | "simple_title8" => (t: String) => Tokenizer.simpleCount(if (t == null) "" else t)
     case "code" => (t: String) => Tokenizer.codeCount(if (t == null) "" else t)
+    case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
+  }
+
+  private def uniqueCountFn(name: String): String => Int = name match {
+    case "simple" | "simple_title8" => (t: String) => Tokenizer.simpleUniqueCount(if (t == null) "" else t)
+    case "code" => (t: String) => Tokenizer.codeUniqueCount(if (t == null) "" else t)
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
 
@@ -501,7 +508,9 @@ object IndexBuilder {
       // docs table: a second narrow pass (count-only, allocation-free
       // tokenize) — no shuffle; trades a little CPU for zero extra I/O
       val cntUdf = udf(tokenCountFn(params.tokenizer))
-      todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"), col("addon"))
+      val uniqUdf = udf(uniqueCountFn(params.tokenizer))
+      todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"),
+          col("addon"), uniqUdf(col("text")).as("uniq"))
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.docsDir(indexDir))
     }
@@ -557,10 +566,14 @@ object IndexBuilder {
     val cntUdf = udf(tokenCountFn(params.tokenizer))
     val addonCol = params.attach
       .map(a => col(a).cast("long")).getOrElse(lit(0L)).as("addon")
+    val uniqUdf = udf(uniqueCountFn(params.tokenizer))
     val lenExpr = fields.map { case (_, c) => cntUdf(col(c)) }.reduce(_ + _)
-    corpus.select(col(docIdCol).cast("long").as("docId"), lenExpr.as("len"), addonCol)
+    // uniq summed per field: a term in two fields is two distinct keys
+    val uniqExpr = fields.map { case (_, c) => uniqUdf(col(c)) }.reduce(_ + _)
+    corpus.select(col(docIdCol).cast("long").as("docId"), lenExpr.as("len"), addonCol,
+        uniqExpr.as("uniq"))
       .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
-      .select("shard", "docId", "len", "addon")
+      .select("shard", "docId", "len", "addon", "uniq")
       .write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.docsDir(indexDir))
 
@@ -605,7 +618,9 @@ object IndexBuilder {
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.altDir(indexDir))
     val cntUdf = udf(tokenCountFn(params.tokenizer))
-    todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"), col("addon"))
+    val uniqUdf = udf(uniqueCountFn(params.tokenizer))
+    todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"),
+        col("addon"), uniqUdf(col("text")).as("uniq"))
       .write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.docsDir(indexDir))
 
@@ -624,6 +639,27 @@ object IndexBuilder {
     refresh(spark, indexDir, params, buildMs, lineage,
       lastBatchId = math.max(meta.lastBatchId, batchId),
       dataFiles = dataFiles)
+  }
+
+  /** Garbage-collect data files not covered by the manifest listing —
+    * orphans left by crashed or replayed writes (harmless but dead bytes).
+    * Safe under the single-writer model: anything unlisted is invisible to
+    * every reader. Returns the deleted relative paths per dataset.
+    */
+  def gcOrphans(indexDir: String): Map[String, List[String]] = {
+    val meta = SegmentCatalog.load(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
+    Seq("postings", "alt", "docs", "stats").map { kind =>
+      val dir = datasetDir(indexDir, kind)
+      val listed = meta.dataFiles.getOrElse(kind, Nil).toSet
+      val removed =
+        if (!meta.dataFiles.contains(kind)) Nil // legacy manifest: no listing, keep all
+        else listParquet(dir).filterNot(listed).map { f =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, f))
+          f
+        }
+      kind -> removed
+    }.toMap.filter(_._2.nonEmpty)
   }
 
   /** Index validation — the amvalidate analogue (reference:
@@ -762,7 +798,7 @@ object IndexBuilder {
       case Some(ids) => docs.join(ids, Seq("docId"), "left_anti")
       case None => docs
     }
-    keptDocs.select("docId", "len", "addon", "shard")
+    keptDocs.select("docId", "len", "addon", "uniq", "shard")
       .write.mode("overwrite").partitionBy("shard").parquet(tmpDocs)
 
     // swap (single-FS rename; an object-store deployment would commit a

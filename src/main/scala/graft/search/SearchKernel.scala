@@ -339,10 +339,15 @@ object SearchKernel extends Serializable {
     val cursors = buildCursors(keys, rows)
     val addons = mutable.LongMap.empty[Long] // populated lazily per candidate
     val lens = mutable.LongMap.empty[Int]
+    val uniqs = mutable.LongMap.empty[Int]
     driver(cq, cursors,
-      docIt.map { d => addons(d.docId) = d.addon; lens(d.docId) = d.len; d.docId },
+      docIt.map { d =>
+        addons(d.docId) = d.addon; lens(d.docId) = d.len; uniqs(d.docId) = d.uniq
+        d.docId
+      },
       score, matchOnly, k, addonOf = id => addons.remove(id).getOrElse(0L),
-      lenOf = id => lens.remove(id).getOrElse(0), method = method)
+      lenOf = id => lens.remove(id).getOrElse(0),
+      uniqOf = id => uniqs.remove(id).getOrElse(0), method = method)
   }
 
   /** Candidate docIds = ascending union of the given key streams.
@@ -401,6 +406,7 @@ object SearchKernel extends Serializable {
   private def driver(cq: CompiledQuery, cursors: Array[KeyCursor], cands: Iterator[Long],
                      score: Boolean, matchOnly: Boolean, k: Int,
                      addonOf: Long => Long = null, lenOf: Long => Int = null,
+                     uniqOf: Long => Int = null,
                      method: Int = 0): Iterator[(Long, Double, Long)] = {
     val provider = new CursorProvider(cursors)
     val out = mutable.ArrayBuffer.empty[(Long, Double, Long)]
@@ -445,7 +451,8 @@ object SearchKernel extends Serializable {
                 m += 1
               }
             }
-            CoverRank.distance(cq, kp, kw, method, dlen).toDouble
+            val nUniq = if (uniqOf != null) uniqOf(cand) else 0
+            CoverRank.distance(cq, kp, kw, method, dlen, nUniq).toDouble
           }
         if (heap != null) heap.offer(d, cand, addon) else out += ((cand, d, addon))
       }

@@ -44,7 +44,8 @@ final class Searcher(spark: SparkSession, indexDir: String) {
 
   private lazy val docs: Dataset[DocRow] =
     graft.build.IndexBuilder.readDataset(spark, indexDir, meta, "docs")
-      .select(col("shard"), col("docId"), col("len"), col("addon")).as[DocRow]
+      .select(col("shard"), col("docId"), col("len"), col("addon"), col("uniq"))
+      .as[DocRow]
 
   private lazy val statsDF: DataFrame =
     graft.build.IndexBuilder.readDataset(spark, indexDir, meta, "stats")
@@ -256,17 +257,17 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * With matchOnly=false behaves like order-only scan over all docs
     * (EVERYTHING mode): non-matching docs carry infinite distance.
     */
-  /** `method` = rank-normalization flags (CoverRank.Norm*); UNIQ flags
-    * need per-doc distinct-lexeme counts the index does not store.
+  /** `method` = rank-normalization flags (CoverRank.Norm*). UNIQ flags
+    * divide by the doc's distinct-lexeme count, which lives in the docs
+    * table (the "heap" — exactly where the reference's rum_ts_distance
+    * reads txt->size from), so those queries route through the full scan.
     */
   def topKCover(queryStr: String, k: Int, matchOnly: Boolean = true,
                 method: Int = 0): DataFrame = {
-    require((method & (CoverRank.NormUniq | CoverRank.NormLogUniq)) == 0,
-      "UNIQ norms need distinct-lexeme counts (not stored index-side); " +
-        "use CoverRank.score directly with nUniq")
+    val needsHeap = (method & (CoverRank.NormUniq | CoverRank.NormLogUniq)) != 0
     val cq = compile(queryStr)
     val base =
-      if (!matchOnly || SearchKernel.needsFullScan(cq))
+      if (!matchOnly || needsHeap || SearchKernel.needsFullScan(cq))
         fullScan(cq, score = true, matchOnly = matchOnly, k = k, method = method)
       else {
         val keys = SearchKernel.keySpecs(cq)

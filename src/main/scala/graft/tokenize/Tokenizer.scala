@@ -147,6 +147,21 @@ object Tokenizer {
     n
   }
 
+  /** Distinct-term count (tsvector `size` — the heap-side statistic the
+    * UNIQ rank norms divide by, reference src/rum_ts_utils.c:1393-1397).
+    */
+  def simpleUniqueCount(text: String): Int = {
+    val seen = mutable.HashSet.empty[String]
+    simpleTokens(text).foreach(seen += _)
+    seen.size
+  }
+
+  def codeUniqueCount(text: String): Int = {
+    val seen = mutable.HashSet.empty[String]
+    codeTokens(text).foreach(seen += _)
+    seen.size
+  }
+
   /** Token count matching [[codeTokens]] boundaries, allocation-free. */
   def codeCount(text: String): Int = {
     var n = 0

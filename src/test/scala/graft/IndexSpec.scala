@@ -173,7 +173,16 @@ class IndexSpec extends AnyFunSuite {
     d1.foreach { case (id, d) =>
       assert(math.abs(d - base(id) * math.log(lens(id) + 1.0)) / d < 1e-5, s"doc $id")
     }
-    intercept[IllegalArgumentException](searcher.topKCover("way", 4, method = CoverRank.NormUniq))
+    // UNIQ norms route through the docs table (the "heap", exactly where
+    // the reference's rum_ts_distance reads txt->size): distance scales
+    // by the distinct-lexeme count
+    val uniqs = docsRaw.map { case (id, t) => id -> Tokenizer.simple(t).length }.toMap
+    val d8 = searcher.topKCover("way", 4, method = CoverRank.NormUniq)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d8.keySet == base.keySet)
+    d8.foreach { case (id, d) =>
+      assert(math.abs(d - base(id) * uniqs(id)) / d < 1e-5, s"doc $id")
+    }
   }
 
   test("BM25 of absent terms is empty") {
@@ -285,6 +294,12 @@ class IndexSpec extends AnyFunSuite {
     assert(m2.numDocs == 3, s"orphan docs leaked into stats: ${m2.numDocs}")
     val s2 = new Searcher(spark, dir)
     assert(s2.termPostings("alpha").count() == 3)
+    // gc removes exactly the orphans; queries unchanged after
+    val removed = IndexBuilder.gcOrphans(dir)
+    assert(removed("postings").exists(_.contains("orphan")), removed)
+    assert(removed("docs").exists(_.contains("orphan")), removed)
+    assert(IndexBuilder.validate(spark, dir).isEmpty)
+    assert(new Searcher(spark, dir).termPostings("alpha").count() == 3)
   }
 
   test("manifest stats are sane") {
