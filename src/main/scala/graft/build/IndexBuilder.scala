@@ -591,17 +591,60 @@ object IndexBuilder {
     */
   def append(spark: SparkSession, newCorpus: DataFrame, docIdCol: String,
              textCol: String, indexDir: String, batchId: Long = -1L): IndexMeta = {
-    val t0 = System.currentTimeMillis()
     val meta = SegmentCatalog.load(indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
     require(meta.fields.isEmpty,
-      "append is not supported on multi-column indexes (rebuild instead)")
+      s"multi-column index (fields=${meta.fields}): use appendFields")
     val params = paramsOf(meta)
     val todo = normalize(newCorpus, docIdCol, textCol, params)
+    val cntUdf = udf(tokenCountFn(params.tokenizer))
+    val uniqUdf = udf(uniqueCountFn(params.tokenizer))
+    val docsDF = todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"),
+      col("addon"), uniqUdf(col("text")).as("uniq"))
+    commitAppend(spark, indexDir, meta, params, explodedOf(todo, params), docsDF,
+      s"append(${newCorpus.queryExecution.logical.toString.linesIterator.take(1).mkString})",
+      batchId)
+  }
 
-    // committed listing + exactly this commit's new files: a crashed
-    // earlier append's orphan part files (written but never manifested)
-    // stay invisible forever
+  /** Incremental insert into a multi-column index — same micro-segment
+    * append with field-prefixed keys; the (field, column) mapping must
+    * match the build's field names.
+    */
+  def appendFields(spark: SparkSession, newCorpus: DataFrame, docIdCol: String,
+                   fields: Seq[(String, String)], indexDir: String,
+                   batchId: Long = -1L): IndexMeta = {
+    val meta = SegmentCatalog.load(indexDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
+    require(meta.fields == fields.map(_._1).mkString(","),
+      s"field mismatch: index has '${meta.fields}', got ${fields.map(_._1)}")
+    val params = paramsOf(meta)
+    val exploded = fields.map { case (fname, colName) =>
+      explodedOf(normalize(newCorpus, docIdCol, colName, params), params,
+        keyPrefix = fname + FieldSep)
+    }.reduce(_ unionAll _)
+    val cntUdf = udf(tokenCountFn(params.tokenizer))
+    val uniqUdf = udf(uniqueCountFn(params.tokenizer))
+    val addonCol = params.attach
+      .map(a => col(a).cast("long")).getOrElse(lit(0L)).as("addon")
+    val docsDF = newCorpus
+      .select(col(docIdCol).cast("long").as("docId"),
+        fields.map { case (_, c) => cntUdf(col(c)) }.reduce(_ + _).as("len"), addonCol,
+        fields.map { case (_, c) => uniqUdf(col(c)) }.reduce(_ + _).as("uniq"))
+      .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
+      .select("shard", "docId", "len", "addon", "uniq")
+    commitAppend(spark, indexDir, meta, params, exploded, docsDF,
+      s"appendFields(${fields.map(_._1).mkString(",")})", batchId)
+  }
+
+  /** Shared micro-segment commit: pack+write postings (and alt copy),
+    * write docs, and commit the prior listing + exactly this write's new
+    * files — a crashed earlier append's orphan part files (written but
+    * never manifested) stay invisible forever.
+    */
+  private def commitAppend(spark: SparkSession, indexDir: String, meta: IndexMeta,
+                           params: Params, exploded: DataFrame, docsDF: DataFrame,
+                           lineage: String, batchId: Long): IndexMeta = {
+    val t0 = System.currentTimeMillis()
     def before(kind: String): (Set[String], List[String]) = {
       val disk = listParquet(datasetDir(indexDir, kind)).toSet
       (disk, meta.dataFiles.getOrElse(kind, disk.toList))
@@ -610,18 +653,14 @@ object IndexBuilder {
     val (altDisk, altCommitted) = before("alt")
     val (docsDisk, docsCommitted) = before("docs")
 
-    packDataset(spark, explodedOf(todo, params), params)
+    packDataset(spark, exploded, params)
       .write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.postingsDir(indexDir))
     if (params.altOrder)
-      packDataset(spark, explodedOf(todo, params), params, alt = true)
+      packDataset(spark, exploded, params, alt = true)
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.altDir(indexDir))
-    val cntUdf = udf(tokenCountFn(params.tokenizer))
-    val uniqUdf = udf(uniqueCountFn(params.tokenizer))
-    todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"),
-        col("addon"), uniqUdf(col("text")).as("uniq"))
-      .write.mode("append").partitionBy("shard")
+    docsDF.write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.docsDir(indexDir))
 
     val dataFiles = Map(
@@ -635,9 +674,8 @@ object IndexBuilder {
        else Map.empty)
 
     val buildMs = System.currentTimeMillis() - t0
-    val lineage = s"append(${newCorpus.queryExecution.logical.toString.linesIterator.take(1).mkString})"
     refresh(spark, indexDir, params, buildMs, lineage,
-      lastBatchId = math.max(meta.lastBatchId, batchId),
+      lastBatchId = math.max(meta.lastBatchId, batchId), fields = meta.fields,
       dataFiles = dataFiles)
   }
 

@@ -65,10 +65,17 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   }
 
   /** identity for text keys; FNV-1a hex for hash-keyed indexes
-    * (rum_extract_tsquery_hash, src/rum_ts_utils.c:757-787).
+    * (rum_extract_tsquery_hash, src/rum_ts_utils.c:757-787). On a
+    * multi-column index bare terms would silently miss the field-prefixed
+    * key space, so they are rejected: qualify with
+    * IndexBuilder.fieldKey(field, term).
     */
-  private def keyOf(term: String): String =
+  private def keyOf(term: String): String = {
+    require(meta.fields.isEmpty || term.contains(graft.build.IndexBuilder.FieldSep),
+      s"multi-column index (fields=${meta.fields}): qualify '$term' with " +
+        "IndexBuilder.fieldKey(field, term)")
     if (meta.keyKind == "hash") graft.core.HashKeys.hex(term) else term
+  }
 
   private def compileTree(q: TsQuery): CompiledQuery = {
     if (meta.keyKind == "hash") {

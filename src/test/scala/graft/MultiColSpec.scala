@@ -61,5 +61,26 @@ class MultiColSpec extends AnyFunSuite {
       .getMessage.contains("multi-column"))
     assert(intercept[IllegalArgumentException](
       searcher.countMulti(Seq("nope" -> "alpha"))).getMessage.contains("unknown field"))
+    // bare terms on the term-based APIs would silently miss prefixed keys
+    assert(intercept[IllegalArgumentException](
+      searcher.topKBm25(Seq("alpha"), 3).collect()).getMessage.contains("fieldKey"))
+  }
+
+  test("appendFields: incremental insert into a multi-column index") {
+    val docs = (0 until 200).map(i => (i.toLong, title(i), body(i))).toDF("doc_id", "title", "body")
+    val more = (200 until 300).map(i => (i.toLong, title(i), body(i))).toDF("doc_id", "title", "body")
+    val d = java.nio.file.Files.createTempDirectory("mcappend").toString
+    IndexBuilder.buildFields(spark, docs, "doc_id",
+      Seq("title" -> "title", "body" -> "body"), d,
+      IndexBuilder.Params(nShards = 4, blockSize = 64))
+    // field names must match
+    assert(intercept[IllegalArgumentException](IndexBuilder.appendFields(
+      spark, more, "doc_id", Seq("title" -> "title"), d)).getMessage.contains("field mismatch"))
+    IndexBuilder.appendFields(spark, more, "doc_id",
+      Seq("title" -> "title", "body" -> "body"), d)
+    val s = new Searcher(spark, d)
+    assert(s.countMulti(Seq("title" -> "alpha")) == (0 until 300).count(_ % 3 == 0))
+    assert(s.countMulti(Seq("title" -> "alpha", "body" -> "gamma")) ==
+      (0 until 300).count(i => i % 3 == 0 && i % 5 == 0))
   }
 }
