@@ -98,8 +98,6 @@ object SparkEntry {
       })
   }
 
-  private def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
-
   /** Banded LSH signatures per corpus, computed ONCE per JVM and cached
     * partitioned on (table, bucket) — the ingest-time materialization every
     * candidate join co-partitions on (at 100 TB this is a written table
