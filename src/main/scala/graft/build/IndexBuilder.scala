@@ -78,6 +78,19 @@ final case class TermEntry(term: String, tf: Int, len: Int, pos: Array[Byte])
   */
 object IndexBuilder {
 
+  /** On-disk format version. 4 = docs table carries `uniq` (the
+    * distinct-lexeme count UNIQ rank norms divide by). Readers and
+    * incremental writers refuse other versions up front — a pre-uniq index
+    * must be rebuilt, not half-read (a missing column would otherwise
+    * surface as a raw AnalysisException mid-query, or an append would mix
+    * docs schemas).
+    */
+  val CurrentFormat = 4
+
+  def requireFormat(meta: IndexMeta): Unit =
+    require(meta.formatVersion == CurrentFormat,
+      s"index format ${meta.formatVersion} (current $CurrentFormat): rebuild required")
+
   final case class Params(
       nShards: Int = 32,
       blockSize: Int = PostingBlock.DefaultSize,
@@ -299,7 +312,12 @@ object IndexBuilder {
                 lastKey = Long.MinValue
                 lastSub = Long.MinValue
               }
-              if (key != lastKey || sub != lastSub) { // composite dedup (keep first)
+              // dedup keep-first, layout-aware to match mergeCells: primary
+              // dedups on docId alone (a re-inserted doc with a changed addon
+              // must not trip the builder's strictly-increasing key check),
+              // alt dedups on the (addon, docId) composite
+              val dup = if (alt) key == lastKey && sub == lastSub else key == lastKey
+              if (!dup) {
                 builder.add(key, tf, len, pos, sub)
                 lastKey = key
                 lastSub = sub
@@ -438,7 +456,7 @@ object IndexBuilder {
     val (numDocs, totalTokens) = (r.getLong(0), r.getLong(1))
 
     val meta = IndexMeta(
-      formatVersion = 3,
+      formatVersion = CurrentFormat,
       numDocs = numDocs,
       totalTokens = totalTokens,
       avgLen = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
@@ -593,6 +611,7 @@ object IndexBuilder {
              textCol: String, indexDir: String, batchId: Long = -1L): IndexMeta = {
     val meta = SegmentCatalog.load(indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
+    requireFormat(meta)
     require(meta.fields.isEmpty,
       s"multi-column index (fields=${meta.fields}): use appendFields")
     val params = paramsOf(meta)
@@ -615,6 +634,7 @@ object IndexBuilder {
                    batchId: Long = -1L): IndexMeta = {
     val meta = SegmentCatalog.load(indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
+    requireFormat(meta)
     require(meta.fields == fields.map(_._1).mkString(","),
       s"field mismatch: index has '${meta.fields}', got ${fields.map(_._1)}")
     val params = paramsOf(meta)
@@ -713,6 +733,9 @@ object IndexBuilder {
     val metaOpt = SegmentCatalog.load(indexDir)
     if (metaOpt.isEmpty) return List("no manifest")
     val meta = metaOpt.get
+    // a down-versioned layout can't be schema-checked further: report and stop
+    if (meta.formatVersion != CurrentFormat)
+      return List(s"format version ${meta.formatVersion} (current $CurrentFormat): rebuild required")
     if (!meta.isComplete)
       issues += s"incomplete: shards ${meta.committedShards.toList.sorted} of ${meta.nShards}"
 
@@ -796,6 +819,7 @@ object IndexBuilder {
     val t0 = System.currentTimeMillis()
     val meta = SegmentCatalog.load(indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
+    requireFormat(meta)
     val params = paramsOf(meta)
 
     val decoded: DataFrame = readDataset(spark, indexDir, meta, "postings")

@@ -95,6 +95,11 @@ object SegmentCatalog {
     meta.shards.sortBy(_.shard).foreach { s =>
       sb.append(s"shard=${s.shard},${s.terms},${s.chunkRows},${s.postings},${s.buildMs},${s.committedAtMs}\n")
     }
+    // the set of LISTED kinds is persisted explicitly: an empty listing
+    // (e.g. buildempty) must round-trip as Some(Nil), not degrade into a
+    // legacy whole-directory scan that would see orphan files
+    if (meta.dataFiles.nonEmpty)
+      sb.append(s"dkinds=${meta.dataFiles.keys.toSeq.sorted.mkString(",")}\n")
     meta.dataFiles.toSeq.sortBy(_._1).foreach { case (kind, files) =>
       files.sorted.foreach(f => sb.append(s"dfile=$kind,$f\n"))
     }
@@ -123,6 +128,10 @@ object SegmentCatalog {
         if (k == "shard") {
           val f = v.split(",")
           shards += ShardMeta(f(0).toInt, f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong)
+        } else if (k == "dkinds") {
+          v.split(",").filter(_.nonEmpty).foreach { kind =>
+            dfiles.getOrElseUpdate(kind, scala.collection.mutable.ListBuffer.empty)
+          }
         } else if (k == "dfile") {
           val c = v.indexOf(',')
           dfiles.getOrElseUpdate(v.substring(0, c), scala.collection.mutable.ListBuffer.empty) +=

@@ -151,18 +151,22 @@ object AltKernel extends Serializable {
       * (rum_ts_join_pos, src/rum_ts_utils.c:1564-1645).
       */
     def mergedUnion(rs: Seq[PostingRow]): Array[PostingBlock] = {
-      val all = mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Array[Byte])]
+      val all = mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Array[Byte], String)]
       rs.foreach { r =>
         r.blocks.foreach { b =>
           val d = PostingBlocks.decode(b)
           var j = 0
           while (j < d.n) {
-            all += ((d.keys(j), d.subs(j), d.tfs(j), d.lens(j), d.rawPositionsAt(j)))
+            all += ((d.keys(j), d.subs(j), d.tfs(j), d.lens(j), d.rawPositionsAt(j), r.term))
             j += 1
           }
         }
       }
-      val sorted = all.sortBy(t => (t._1, t._2))
+      // sort includes the source term so a tie run groups each expansion
+      // term's replays (overlapping micro-segments re-ship the same entry)
+      // adjacently: dedup keep-first per term BEFORE summing tf, matching
+      // merged()'s keep-first — otherwise tf inflates on appended indexes
+      val sorted = all.sortBy(t => (t._1, t._2, t._6))
       val builder = new PostingListBuilder(allowTies = true)
       var i = 0
       while (i < sorted.length) {
@@ -170,18 +174,23 @@ object AltKernel extends Serializable {
         while (j < sorted.length && sorted(j)._1 == sorted(i)._1 &&
                sorted(j)._2 == sorted(i)._2) j += 1
         if (j == i + 1) {
-          val (k, s, tf, len, pos) = sorted(i)
+          val (k, s, tf, len, pos, _) = sorted(i)
           builder.add(k, tf, len, pos, s)
         } else {
-          // union the tie run: sum tf, merge (pos, wclass) streams
+          // union the tie run: sum tf over DISTINCT terms, merge their
+          // (pos, wclass) streams (same-term replays skipped keep-first)
           var tf = 0
           val merged = mutable.ArrayBuffer.empty[(Int, Byte)]
           var m = i
+          var lastTerm: String = null
           while (m < j) {
-            tf += sorted(m)._3
-            val (ps, ws) = graft.core.PositionCodec.decode(sorted(m)._5)
-            var x = 0
-            while (x < ps.length) { merged += ((ps(x), ws(x))); x += 1 }
+            if (sorted(m)._6 != lastTerm) {
+              lastTerm = sorted(m)._6
+              tf += sorted(m)._3
+              val (ps, ws) = graft.core.PositionCodec.decode(sorted(m)._5)
+              var x = 0
+              while (x < ps.length) { merged += ((ps(x), ws(x))); x += 1 }
+            }
             m += 1
           }
           val byPos = merged.sortBy(_._1)
@@ -320,13 +329,16 @@ object AltKernel extends Serializable {
       }
     }
 
+    // distances computed in Double: raw Long subtraction overflows for
+    // extreme constants (c near Long.MinValue) and a negative distance
+    // would corrupt the heap order and the early-termination bound
     op match {
-      case "right" => run(forward = true, c, Long.MinValue, a => (a - c).toDouble)
-      case "left" => run(forward = false, c, Long.MaxValue, a => (c - a).toDouble)
+      case "right" => run(forward = true, c, Long.MinValue, a => a.toDouble - c.toDouble)
+      case "left" => run(forward = false, c, Long.MaxValue, a => c.toDouble - a.toDouble)
       case "both" =>
-        run(forward = true, c, Long.MinValue, a => (a - c).toDouble)
+        run(forward = true, c, Long.MinValue, a => a.toDouble - c.toDouble)
         if (c != Long.MinValue)
-          run(forward = false, c - 1, Long.MaxValue, a => (c - a).toDouble)
+          run(forward = false, c - 1, Long.MaxValue, a => c.toDouble - a.toDouble)
       case other => throw new IllegalArgumentException(s"op: $other")
     }
     AltResult(heap.drain(), visited)

@@ -28,6 +28,9 @@ final class Searcher(spark: SparkSession, indexDir: String) {
 
   val meta: IndexMeta = SegmentCatalog.load(indexDir)
     .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
+  // refuse down-versioned layouts up front with a "rebuild required" error
+  // instead of an AnalysisException mid-query on a missing column
+  graft.build.IndexBuilder.requireFormat(meta)
 
   // lazy vals: file listing + schema inference happen once per Searcher,
   // not once per query — repeated InMemoryFileIndex listings serialize
@@ -226,11 +229,15 @@ final class Searcher(spark: SparkSession, indexDir: String) {
         .limit(k)
     } else {
       val base = matchingWithAddon(queryStr)
+      // subtract in double (matching the alt kernel): long subtraction
+      // overflows for extreme constants
+      val a = col("addon").cast("double")
+      val cc = lit(c).cast("double")
       val dist = op match {
-        case "both" => abs(col("addon") - lit(c)).cast("double")
-        case "left" => when(col("addon") <= c, (lit(c) - col("addon")).cast("double"))
+        case "both" => abs(a - cc)
+        case "left" => when(col("addon") <= c, cc - a)
           .otherwise(lit(Double.PositiveInfinity))
-        case "right" => when(col("addon") >= c, (col("addon") - lit(c)).cast("double"))
+        case "right" => when(col("addon") >= c, a - cc)
           .otherwise(lit(Double.PositiveInfinity))
         case other => throw new IllegalArgumentException(s"op: $other")
       }

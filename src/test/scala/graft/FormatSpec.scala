@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{IndexBuilder, SegmentCatalog}
+import graft.search.Searcher
+
+/** On-disk format discipline: down-versioned manifests are refused with a
+  * clean "rebuild required" error everywhere an index is opened for read or
+  * incremental write (instead of a raw AnalysisException mid-query on the
+  * missing `uniq` column), and empty data-file listings round-trip through
+  * the manifest (a buildempty index must not degrade into legacy
+  * whole-directory scans that would see orphan files).
+  */
+class FormatSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def buildSmall(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    val docs = Seq((1L, "alpha beta", 10L), (2L, "beta gamma", 20L))
+    IndexBuilder.build(spark, docs.toDF("id", "t", "w"), "id", "t", dir,
+      IndexBuilder.Params(nShards = 2, attach = Some("w")))
+    dir
+  }
+
+  test("current builds stamp the current format version") {
+    val dir = buildSmall()
+    assert(SegmentCatalog.load(dir).get.formatVersion == IndexBuilder.CurrentFormat)
+  }
+
+  test("down-versioned manifest: searcher, append, compact refuse cleanly") {
+    val dir = buildSmall()
+    val meta = SegmentCatalog.load(dir).get
+    SegmentCatalog.save(dir, meta.copy(formatVersion = 3))
+
+    val e1 = intercept[IllegalArgumentException](new Searcher(spark, dir))
+    assert(e1.getMessage.contains("rebuild required"))
+    val e2 = intercept[IllegalArgumentException](
+      IndexBuilder.append(spark, Seq((3L, "delta", 30L)).toDF("id", "t", "w"), "id", "t", dir))
+    assert(e2.getMessage.contains("rebuild required"))
+    val e3 = intercept[IllegalArgumentException](IndexBuilder.compact(spark, dir))
+    assert(e3.getMessage.contains("rebuild required"))
+    // validate reports instead of throwing
+    assert(IndexBuilder.validate(spark, dir).exists(_.contains("rebuild required")))
+
+    // restore and confirm the index still opens
+    SegmentCatalog.save(dir, meta)
+    assert(new Searcher(spark, dir).count("beta") == 2)
+  }
+
+  test("empty data-file listings round-trip distinct from legacy manifests") {
+    val dir = buildSmall()
+    val meta = SegmentCatalog.load(dir).get
+    val withEmpty = meta.copy(dataFiles = meta.dataFiles + ("alt" -> Nil))
+    SegmentCatalog.save(dir, withEmpty)
+    val loaded = SegmentCatalog.load(dir).get
+    assert(loaded.dataFiles.get("alt").contains(Nil)) // Some(Nil), NOT None
+    assert(loaded.dataFiles("postings") == meta.dataFiles("postings"))
+  }
+
+  test("duplicate docId with differing addon in one partition: keep-first, no crash") {
+    // stage-A pack must dedup the primary layout on docId alone (matching
+    // mergeCells keep-first); a composite-only dedup would pass the second
+    // row into the builder's strictly-increasing key check and crash
+    val dir = java.nio.file.Files.createTempDirectory("fmtdup").toString
+    val docs = Seq((1L, "alpha beta", 10L), (1L, "alpha beta", 99L), (2L, "beta", 20L))
+    IndexBuilder.build(spark, docs.toDF("id", "t", "w").repartition(1), "id", "t", dir,
+      IndexBuilder.Params(nShards = 2, attach = Some("w")))
+    val s = new Searcher(spark, dir)
+    assert(s.matchingDocs("alpha").collect().map(_.getLong(0)).toSet == Set(1L))
+    val addons = s.matchingWithAddon("beta").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(addons(1L) == 10L) // first wins
+  }
+}
