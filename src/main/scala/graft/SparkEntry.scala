@@ -87,13 +87,16 @@ object SparkEntry {
     def searcherW(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple_title8")
     /** hash-keyed variant (rum_tsvector_hash_ops). */
     def searcherH(s: SparkSession, sfDir: String): Searcher = of(s, sfDir, "simple", "hash")
-    /** multi-column variant: fields (text, lang) with field-prefixed keys. */
+    /** multi-column variant: fields (text, lang) with field-prefixed keys;
+      * n_chars attached + alt-order layout so ranked/ordered scans
+      * (topKCoverMulti / topKAddonMulti) are served too.
+      */
     def searcherM(s: SparkSession, sfDir: String): Searcher =
       cache.computeIfAbsent(s"$sfDir#multi", _ => {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
         IndexBuilder.buildFields(s, documents(s, sfDir), "doc_id",
           Seq("text" -> "text", "lang" -> "lang"), dir,
-          IndexBuilder.Params(nShards = 8))
+          IndexBuilder.Params(nShards = 8, attach = Some("n_chars"), altOrder = true))
         new Searcher(s, dir)
       })
   }
@@ -262,6 +265,49 @@ object SparkEntry {
       IndexCache.searcherM(s, dir)
         .matchingDocsMulti(Seq("text" -> "merge & win:*", "lang" -> "en | de"))
         .select(col("docId").as("doc_id")).orderBy("doc_id")
+    }),
+    "ft_multicol_rank" -> ((s, dir) => {
+      // multicolumn RANKED scan (the last reference capability: ordered
+      // scans over multicolumn indexes, sql/orderby.sql:89-106): match
+      // text @@ 'order & window' AND lang @@ 'en' in one kernel pass over
+      // field-prefixed keys; rank by cover-density of the TEXT query alone
+      IndexCache.searcherM(s, dir)
+        .topKCoverMulti("text", "order & window", Seq("lang" -> "en"), 10)
+        .withColumn("distance", round(col("distance"), 4))
+        .select(col("docId").as("doc_id"), col("distance"))
+        .orderBy("distance", "doc_id")
+    }),
+    "ft_multicol_addon" -> ((s, dir) => {
+      // multicolumn ordered-by-addon scan — the exact reference test shape
+      // (text predicate + ORDER BY d <=> c on one multicolumn index);
+      // served from the alt-order layout with early termination
+      IndexCache.searcherM(s, dir)
+        .topKAddonMulti(Seq("text" -> "merge & window", "lang" -> "en | de"),
+          600L, "both", 10)
+        .select(col("docId").as("doc_id"), col("addon").as("n_chars"),
+          col("distance").cast("long").as("dist"))
+    }),
+    "ft_multicol_bm25" -> ((s, dir) => {
+      // field-scoped BM25 over the multicolumn index: stats and doc lens
+      // come from the text field's own prefixed key space
+      IndexCache.searcherM(s, dir)
+        .topKBm25Fields("text", Seq("merge", "window", "vector"), 20)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("docId"))
+        .limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("docId"))))
+        .select(col("docId").as("doc_id"), col("score"), col("rank"))
+    }),
+    "ft_rank_norm" -> ((s, dir) => {
+      // rank-normalization flag end-to-end: LOGLENGTH divides the
+      // cover-density score by ln(docLen+1) (reference flag set,
+      // src/rum_ts_utils.c:137-142; applied at 1317-1320)
+      IndexCache.searcher(s, dir).topKCover("order & window", 10,
+        method = graft.query.CoverRank.NormLogLength)
+        .withColumn("distance", round(col("distance"), 4))
+        .select(col("docId").as("doc_id"), col("distance"))
+        .orderBy("distance", "doc_id")
     }),
     "ft_hash_count" -> ((s, dir) => {
       // hash-keyed opclass: same boolean semantics over 64-bit hashed
@@ -652,6 +698,81 @@ object SparkEntry {
         |  INTERSECT SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'win%'
         |  INTERSECT SELECT doc_id FROM documents WHERE lang IN ('en','de')) x
         |ORDER BY doc_id""".stripMargin),
+    // multicolumn rank oracle: identical cover algebra to ft_topk_cover,
+    // with the candidate doc set narrowed by the lang predicate (the text
+    // query alone defines the rank; lang is a boolean filter)
+    "ft_multicol_rank" -> (ToksCte +
+      """,
+        |occ AS (SELECT t.doc_id, t.pos, t.term FROM toks t
+        |        JOIN documents dd ON dd.doc_id = t.doc_id AND dd.lang = 'en'
+        |        WHERE t.term IN ('order','window')),
+        |seq AS (SELECT doc_id, pos, term,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS q,
+        |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm
+        |        FROM occ),
+        |covers AS (SELECT doc_id, pos AS p, q, term AS t1 FROM seq
+        |           WHERE nterm IS NOT NULL AND nterm <> term),
+        |numbered AS (SELECT doc_id, p, q, t1,
+        |             row_number() OVER (PARTITION BY doc_id, t1 ORDER BY p) AS l
+        |             FROM covers),
+        |scores AS (SELECT doc_id, sum(0.2/(q - p)/(l*l)/1.64493406685) AS score
+        |           FROM numbered GROUP BY doc_id),
+        |dists AS (SELECT doc_id, CAST(CAST(1.0 AS REAL)/CAST(score AS REAL) AS DOUBLE) AS d
+        |          FROM scores)
+        |SELECT doc_id, round(d, 4) AS distance
+        |FROM dists ORDER BY d, doc_id LIMIT 10""".stripMargin),
+    "ft_multicol_addon" -> (ToksCte +
+      """SELECT d.doc_id, d.n_chars, CAST(abs(d.n_chars - 600) AS BIGINT) AS dist
+        |FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
+        |  AND d.lang IN ('en','de')
+        |ORDER BY dist, d.doc_id LIMIT 10""".stripMargin),
+    // field-scoped BM25: df and doc len come from the text field; avgLen is
+    // the index-global average (text tokens + one lang token per doc),
+    // mirroring the engine's meta.avgLen
+    "ft_multicol_bm25" -> (ToksCte +
+      """,
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1,2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |           ((SELECT count(*) FROM toks)
+        |            + (SELECT sum(len(regexp_extract_all(lower(lang), '[a-z0-9]+')))
+        |               FROM documents))*1.0
+        |           /(SELECT count(*) FROM documents) AS avgl),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1+(n-df+0.5)/(df+0.5)) * (tf*2.2)/(tf+1.2*(0.25+0.75*len/avgl))),4) AS score
+        |  FROM tf JOIN df USING(term) JOIN lens ON lens.doc_id=tf.doc_id CROSS JOIN consts
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    // LOGLENGTH norm: cover score divided by ln(len+1) before inversion
+    "ft_rank_norm" -> (ToksCte +
+      """,
+        |occ AS (SELECT doc_id, pos, term FROM toks WHERE term IN ('order','window')),
+        |seq AS (SELECT doc_id, pos, term,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS q,
+        |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm
+        |        FROM occ),
+        |covers AS (SELECT doc_id, pos AS p, q, term AS t1 FROM seq
+        |           WHERE nterm IS NOT NULL AND nterm <> term),
+        |numbered AS (SELECT doc_id, p, q, t1,
+        |             row_number() OVER (PARTITION BY doc_id, t1 ORDER BY p) AS l
+        |             FROM covers),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |scores AS (SELECT n.doc_id, sum(0.2/(q - p)/(l*l)/1.64493406685) AS score
+        |           FROM numbered n GROUP BY n.doc_id),
+        |normed AS (SELECT s.doc_id, s.score/ln(lens.len + 1.0) AS score
+        |           FROM scores s JOIN lens ON lens.doc_id = s.doc_id),
+        |dists AS (SELECT doc_id, CAST(CAST(1.0 AS REAL)/CAST(score AS REAL) AS DOUBLE) AS d
+        |          FROM normed)
+        |SELECT doc_id, round(d, 4) AS distance
+        |FROM dists ORDER BY d, doc_id LIMIT 10""".stripMargin),
     "ft_hash_count" -> (ToksCte +
       """SELECT count(*) AS cnt FROM (
         |  SELECT doc_id FROM toks WHERE term='order'

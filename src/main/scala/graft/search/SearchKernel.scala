@@ -316,7 +316,8 @@ object SearchKernel extends Serializable {
     */
   def matchShard(cq: CompiledQuery, keys: Array[KeySpec], rows: Iterator[PostingRow],
                  score: Boolean, k: Int,
-                 method: Int = 0): Iterator[(Long, Double, Long)] = {
+                 method: Int = 0, scoreCq: CompiledQuery = null,
+                 scoreMap: Array[Int] = null): Iterator[(Long, Double, Long)] = {
     val cursors = buildCursors(keys, rows)
     // fast scan: when some keys are required in every match, candidates
     // come from their seek-join intersection (far fewer consistency checks
@@ -327,7 +328,8 @@ object SearchKernel extends Serializable {
     val cands =
       if (reqIdx.nonEmpty) intersectionStream(cursors, reqIdx)
       else candidateStream(cursors, positiveKeys(cq))
-    driver(cq, cursors, cands, score, matchOnly = true, k, method = method)
+    driver(cq, cursors, cands, score, matchOnly = true, k, method = method,
+      scoreCq = scoreCq, scoreMap = scoreMap)
   }
 
   /** Full-corpus scan driver (scanGetItemFull, src/rumget.c:2024-2083):
@@ -335,7 +337,8 @@ object SearchKernel extends Serializable {
     */
   def fullScanShard(cq: CompiledQuery, keys: Array[KeySpec], docIt: Iterator[DocRow],
                     rows: Iterator[PostingRow], score: Boolean, matchOnly: Boolean,
-                    k: Int, method: Int = 0): Iterator[(Long, Double, Long)] = {
+                    k: Int, method: Int = 0, scoreCq: CompiledQuery = null,
+                    scoreMap: Array[Int] = null): Iterator[(Long, Double, Long)] = {
     val cursors = buildCursors(keys, rows)
     val addons = mutable.LongMap.empty[Long] // populated lazily per candidate
     val lens = mutable.LongMap.empty[Int]
@@ -347,7 +350,8 @@ object SearchKernel extends Serializable {
       },
       score, matchOnly, k, addonOf = id => addons.remove(id).getOrElse(0L),
       lenOf = id => lens.remove(id).getOrElse(0),
-      uniqOf = id => uniqs.remove(id).getOrElse(0), method = method)
+      uniqOf = id => uniqs.remove(id).getOrElse(0), method = method,
+      scoreCq = scoreCq, scoreMap = scoreMap)
   }
 
   /** Candidate docIds = ascending union of the given key streams.
@@ -403,11 +407,20 @@ object SearchKernel extends Serializable {
       def next(): Long = { advance(); last = nextCand; nextCand }
     }
 
+  /** `scoreCq`/`scoreMap`: when set, matching runs over `cq` but the
+    * cover-density score is computed over `scoreCq` only, whose key j reads
+    * positions from full-query key scoreMap(j) — the multicolumn ranked
+    * scan, where `ORDER BY t <=> q` ranks one field's tsquery while other
+    * fields contribute boolean predicates (reference: multicolumn ordered
+    * scans, sql/orderby.sql:89-106 — rank inputs and filter columns are
+    * separate keys of one index).
+    */
   private def driver(cq: CompiledQuery, cursors: Array[KeyCursor], cands: Iterator[Long],
                      score: Boolean, matchOnly: Boolean, k: Int,
                      addonOf: Long => Long = null, lenOf: Long => Int = null,
                      uniqOf: Long => Int = null,
-                     method: Int = 0): Iterator[(Long, Double, Long)] = {
+                     method: Int = 0, scoreCq: CompiledQuery = null,
+                     scoreMap: Array[Int] = null): Iterator[(Long, Double, Long)] = {
     val provider = new CursorProvider(cursors)
     val out = mutable.ArrayBuffer.empty[(Long, Double, Long)]
     val heap = if (k > 0 && score) new TopKHeap(k) else null
@@ -436,10 +449,15 @@ object SearchKernel extends Serializable {
         val d =
           if (!score) 0.0
           else {
-            val kp = new Array[Array[Int]](cq.numKeys)
-            val kw = new Array[Array[Byte]](cq.numKeys)
+            val sCq = if (scoreCq != null) scoreCq else cq
+            val kp = new Array[Array[Int]](sCq.numKeys)
+            val kw = new Array[Array[Byte]](sCq.numKeys)
             var j = 0
-            while (j < cq.numKeys) { kp(j) = provider.positions(j); kw(j) = provider.wclasses(j); j += 1 }
+            while (j < sCq.numKeys) {
+              val src = if (scoreMap != null) scoreMap(j) else j
+              kp(j) = provider.positions(src); kw(j) = provider.wclasses(src)
+              j += 1
+            }
             // doc length for length norms: docs stream if present, else
             // any posting cursor at the candidate carries it
             var dlen = if (lenOf != null) lenOf(cand) else 0
@@ -452,7 +470,7 @@ object SearchKernel extends Serializable {
               }
             }
             val nUniq = if (uniqOf != null) uniqOf(cand) else 0
-            CoverRank.distance(cq, kp, kw, method, dlen, nUniq).toDouble
+            CoverRank.distance(sCq, kp, kw, method, dlen, nUniq).toDouble
           }
         if (heap != null) heap.offer(d, cand, addon) else out += ((cand, d, addon))
       }

@@ -183,8 +183,10 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * (RUM addon ops, README.md:158-196). Feed this to Column expressions
     * for distance ordering / range predicates on the attached column.
     */
-  def matchingWithAddon(queryStr: String): DataFrame = {
-    val cq = compile(queryStr)
+  def matchingWithAddon(queryStr: String): DataFrame =
+    matchingWithAddonC(compile(queryStr))
+
+  private def matchingWithAddonC(cq: CompiledQuery): DataFrame = {
     if (SearchKernel.needsFullScan(cq))
       fullScan(cq, score = false, matchOnly = true, k = 0)
         .select(col("docId"), col("addon"))
@@ -212,8 +214,20 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     meta.altOrder && !SearchKernel.needsFullScan(cq) &&
       SearchKernel.requiredKeys(cq).nonEmpty
 
-  def topKAddon(queryStr: String, c: Long, op: String, k: Int): DataFrame = {
-    val cq = compile(queryStr)
+  def topKAddon(queryStr: String, c: Long, op: String, k: Int): DataFrame =
+    topKAddonC(compile(queryStr), c, op, k)
+
+  /** Multicolumn ordered scan: `WHERE f1 @@ q1 AND f2 @@ q2 ORDER BY
+    * addon <op> c LIMIT k` — the reference's multicolumn test shape
+    * (sql/orderby.sql:89-106: text predicate + `ORDER BY d <=> c` on one
+    * index). Field-prefixed keys ride through the same alt-order kernel, so
+    * early termination is preserved.
+    */
+  def topKAddonMulti(fieldQueries: Seq[(String, String)], c: Long, op: String,
+                     k: Int): DataFrame =
+    topKAddonC(compileMulti(fieldQueries), c, op, k)
+
+  private def topKAddonC(cq: CompiledQuery, c: Long, op: String, k: Int): DataFrame = {
     if (altServes(cq) && Set("both", "left", "right").contains(op)) {
       // index-ordered stream with early termination (order_by_attach scan,
       // src/rumget.c:2303-2327): per-shard cost tracks k, not match count;
@@ -228,7 +242,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
         .orderBy(col("distance").asc, col("docId").asc)
         .limit(k)
     } else {
-      val base = matchingWithAddon(queryStr)
+      val base = matchingWithAddonC(cq)
       // subtract in double (matching the alt kernel): long subtraction
       // overflows for extreme constants
       val a = col("addon").cast("double")
@@ -252,8 +266,14 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * bounded ordered stream when available (cost tracks the in-range match
     * count), else filter over all matches.
     */
-  def rangeAddon(queryStr: String, lo: Long, hi: Long): DataFrame = {
-    val cq = compile(queryStr)
+  def rangeAddon(queryStr: String, lo: Long, hi: Long): DataFrame =
+    rangeAddonC(compile(queryStr), lo, hi)
+
+  /** Multicolumn variant of [[rangeAddon]]. */
+  def rangeAddonMulti(fieldQueries: Seq[(String, String)], lo: Long, hi: Long): DataFrame =
+    rangeAddonC(compileMulti(fieldQueries), lo, hi)
+
+  private def rangeAddonC(cq: CompiledQuery, lo: Long, hi: Long): DataFrame = {
     if (altServes(cq)) {
       val keys = SearchKernel.keySpecs(cq)
       altPostings.where(termPredicate(cq))
@@ -262,7 +282,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
           AltKernel.rangeAddonShard(cq, keys, it, lo, hi))
         .toDF("docId", "addon")
     } else
-      matchingWithAddon(queryStr).where(col("addon") >= lo && col("addon") <= hi)
+      matchingWithAddonC(cq).where(col("addon") >= lo && col("addon") <= hi)
   }
 
   /** Ranked search: WHERE t @@ q ORDER BY t <=> q LIMIT k — the
@@ -277,18 +297,55 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * reads txt->size from), so those queries route through the full scan.
     */
   def topKCover(queryStr: String, k: Int, matchOnly: Boolean = true,
-                method: Int = 0): DataFrame = {
+                method: Int = 0): DataFrame =
+    topKCoverC(compile(queryStr), k, matchOnly, method, null, null)
+
+  /** Multicolumn ranked scan: match `rankQuery` on `rankField` AND every
+    * `filters` predicate on its field — one kernel pass over field-prefixed
+    * keys — but rank by the cover-density of `rankQuery` ALONE (the other
+    * fields are boolean predicates, not rank inputs), mirroring the
+    * reference's multicolumn ordered scans where `ORDER BY t <=> q` ranks
+    * one column while siblings filter (sql/orderby.sql:89-106;
+    * attnum-prefixed keys src/rumutil.c:266-288).
+    */
+  def topKCoverMulti(rankField: String, rankQuery: String,
+                     filters: Seq[(String, String)], k: Int,
+                     matchOnly: Boolean = true, method: Int = 0): DataFrame = {
+    require(meta.fields.nonEmpty, "not a multi-column index")
+    val known = meta.fields.split(",").toSet
+    (rankField +: filters.map(_._1)).foreach(f =>
+      require(known.contains(f), s"unknown field '$f' (have ${meta.fields})"))
+    val rankTree = TsQuery.mapTerms(TsQueryParser.parse(rankQuery),
+      t => graft.build.IndexBuilder.fieldKey(rankField, t))
+    val filterTrees = filters.map { case (f, q) =>
+      TsQuery.mapTerms(TsQueryParser.parse(q),
+        t => graft.build.IndexBuilder.fieldKey(f, t))
+    }
+    val fullCq = compileTree((rankTree +: filterTrees).reduce(TsQuery.And(_, _)))
+    val scoreCq = compileTree(rankTree)
+    // scoreCq key j reads positions from the full query's matching key
+    // (dedup is per (term, prefix) on both sides, so the lookup is total)
+    val scoreMap = scoreCq.keys.map(sk =>
+      fullCq.keys.indexWhere(fk => fk.term == sk.term && fk.prefix == sk.prefix))
+    require(scoreMap.forall(_ >= 0), "rank keys must appear in the full query")
+    topKCoverC(fullCq, k, matchOnly, method, scoreCq, scoreMap)
+  }
+
+  private def topKCoverC(cq: CompiledQuery, k: Int, matchOnly: Boolean,
+                         method: Int, scoreCq: CompiledQuery,
+                         scoreMap: Array[Int]): DataFrame = {
     val needsHeap = (method & (CoverRank.NormUniq | CoverRank.NormLogUniq)) != 0
-    val cq = compile(queryStr)
     val base =
       if (!matchOnly || needsHeap || SearchKernel.needsFullScan(cq))
-        fullScan(cq, score = true, matchOnly = matchOnly, k = k, method = method)
+        fullScan(cq, score = true, matchOnly = matchOnly, k = k, method = method,
+          scoreCq = scoreCq, scoreMap = scoreMap)
       else {
         val keys = SearchKernel.keySpecs(cq)
         postings.where(termPredicate(cq))
           .groupByKey(_.shard)
           .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
-            SearchKernel.matchShard(cq, keys, it, score = true, k = k, method = method))
+            SearchKernel.matchShard(cq, keys, it, score = true, k = k, method = method,
+              scoreCq = scoreCq, scoreMap = scoreMap))
           .toDF("docId", "distance", "addon").select("docId", "distance")
       }
     base.select("docId", "distance")
@@ -299,6 +356,18 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * (the fast-scan analogue, src/rumget.c:1900-2017). Scores use true tf
     * and doc length carried in the posting payload (addon-column pattern).
     */
+  /** Field-scoped BM25 over a multicolumn index: terms resolve to the
+    * field's prefixed key space, so df/maxTf stats and doc lengths are the
+    * field's own (posting payloads carry per-field token counts);
+    * `avgLen` stays the index-global average (documented engine behavior —
+    * the oracle mirrors it).
+    */
+  def topKBm25Fields(field: String, terms: Seq[String], k: Int): DataFrame = {
+    require(meta.fields.split(",").contains(field),
+      s"unknown field '$field' (have ${meta.fields})")
+    topKBm25(terms.map(t => graft.build.IndexBuilder.fieldKey(field, t)), k)
+  }
+
   def topKBm25(terms: Seq[String], k: Int): DataFrame = {
     val distinct = terms.distinct.map(keyOf)
     val statRows = statsDF
@@ -354,13 +423,15 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * sorted by docId; posting cursors pulled along for scoring.
     */
   private def fullScan(cq: CompiledQuery, score: Boolean, matchOnly: Boolean, k: Int,
-                       method: Int = 0): DataFrame = {
+                       method: Int = 0, scoreCq: CompiledQuery = null,
+                       scoreMap: Array[Int] = null): DataFrame = {
     val keys = SearchKernel.keySpecs(cq)
     val docsG = docs.groupByKey(_.shard)
     val postG = postings.where(termPredicate(cq)).groupByKey(_.shard)
     docsG.cogroupSorted(postG)(col("docId").asc)(col("term").asc)(
       (shard: Int, docIt: Iterator[DocRow], postIt: Iterator[PostingRow]) =>
-        SearchKernel.fullScanShard(cq, keys, docIt, postIt, score, matchOnly, k, method))
+        SearchKernel.fullScanShard(cq, keys, docIt, postIt, score, matchOnly, k, method,
+          scoreCq, scoreMap))
       .toDF("docId", "distance", "addon")
   }
 }

@@ -66,6 +66,88 @@ class MultiColSpec extends AnyFunSuite {
       searcher.topKBm25(Seq("alpha"), 3).collect()).getMessage.contains("fieldKey"))
   }
 
+  /** multicol index with attach + alt-order layout for ordered scans, and
+    * a single-column twin over body for cover-rank equivalence.
+    */
+  private lazy val (searcherO, searcherBody): (Searcher, Searcher) = {
+    val docs = (0 until n).map(i => (i.toLong, title(i), body(i), i.toLong * 10))
+      .toDF("doc_id", "title", "body", "w")
+    val d1 = java.nio.file.Files.createTempDirectory("multicolO").toString
+    IndexBuilder.buildFields(spark, docs, "doc_id",
+      Seq("title" -> "title", "body" -> "body"), d1,
+      IndexBuilder.Params(nShards = 4, blockSize = 64, attach = Some("w"),
+        altOrder = true))
+    val d2 = java.nio.file.Files.createTempDirectory("bodyonly").toString
+    IndexBuilder.build(spark, docs, "doc_id", "body", d2,
+      IndexBuilder.Params(nShards = 4, blockSize = 64))
+    (new Searcher(spark, d1), new Searcher(spark, d2))
+  }
+
+  test("topKCoverMulti: ranks by the rank field only, matches the full tree") {
+    // expected = single-column cover rank over body, narrowed to docs whose
+    // title matches the filter — distances must be IDENTICAL (the filter
+    // field contributes matching, never rank input)
+    val single = searcherBody.topKCover("common & gamma", n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = single.filter { case (id, _) => id % 3 == 0 } // title alpha
+      .sortBy { case (id, dist) => (dist, id) }.take(10).toSeq
+    val got = searcherO.topKCoverMulti("body", "common & gamma",
+        Seq("title" -> "alpha"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    // sanity: the filter actually narrowed the set
+    val unfiltered = single.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    assert(unfiltered != expected.map(_._1).toSet)
+  }
+
+  test("topKAddonMulti: multicolumn ordered-by-addon scan equals brute force") {
+    val matches = (0 until n).filter(i => i % 3 == 0) // title alpha; body common = all
+    def brute(c: Long, op: String, k: Int): Seq[(Long, Long)] = {
+      val withDist = matches.flatMap { i =>
+        val a = i.toLong * 10
+        op match {
+          case "both" => Some((i.toLong, a, math.abs(a - c)))
+          case "left" => if (a <= c) Some((i.toLong, a, c - a)) else None
+          case "right" => if (a >= c) Some((i.toLong, a, a - c)) else None
+        }
+      }
+      withDist.sortBy { case (id, _, d) => (d, id) }.take(k)
+        .map { case (id, a, _) => (id, a) }
+    }
+    val fq = Seq("title" -> "alpha", "body" -> "common")
+    for (op <- Seq("both", "left", "right")) {
+      val got = searcherO.topKAddonMulti(fq, 3000L, op, 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == brute(3000L, op, 7), s"op=$op")
+    }
+    // range over the same composite query
+    val gotRange = searcherO.rangeAddonMulti(fq, 1000L, 1500L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotRange == matches.filter(i => i * 10 >= 1000 && i * 10 <= 1500).map(_.toLong))
+  }
+
+  test("topKBm25Fields: field-scoped stats match a brute-force BM25") {
+    import graft.query.Bm25
+    val meta = searcherO.meta
+    val terms = Seq("common", "gamma")
+    def toks(s: String): Seq[String] =
+      graft.tokenize.Tokenizer.simpleTokens(s).toSeq
+    val bodies = (0 until n).map(i => i.toLong -> toks(body(i)))
+    val dfs = terms.map(t => t -> bodies.count(_._2.contains(t)).toLong).toMap
+    val expected = bodies.flatMap { case (id, ts) =>
+      val score = terms.map { t =>
+        val tf = ts.count(_ == t)
+        if (tf == 0) 0.0
+        else Bm25.termScore(tf, dfs(t), ts.length.toLong, meta.avgLen, meta.numDocs)
+      }.sum
+      if (score > 0) Some((id, score)) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = searcherO.topKBm25Fields("body", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) => assert(math.abs(g - e) < 1e-9) }
+  }
+
   test("appendFields: incremental insert into a multi-column index") {
     val docs = (0 until 200).map(i => (i.toLong, title(i), body(i))).toDF("doc_id", "title", "body")
     val more = (200 until 300).map(i => (i.toLong, title(i), body(i))).toDF("doc_id", "title", "body")
