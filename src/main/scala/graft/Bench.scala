@@ -67,14 +67,24 @@ object Bench {
     results += "query_p50" -> lat(lat.length / 2)
     results += "query_p95" -> lat(math.min(lat.length - 1, (lat.length * 0.95).toInt))
 
+    // ---- wide-prefix union latency (heap union path) ----
+    // one-letter prefix over the code corpus: expansion width is in the
+    // hundreds, exercising HeapUnionCursor; warmed once, then timed
+    searcher.count("s:* & merge")
+    val tp0 = System.nanoTime()
+    searcher.count("s:* & merge")
+    results += "query_prefix_wide" -> (System.nanoTime() - tp0) / 1e9
+
     // ---- driver query suite ----
-    // pre-warm every per-sfDir index variant (plain/weighted/hash/multicol
-    // + LSH signatures) so each family's first query reflects the query,
-    // not the one-time build (build cost is reported separately as
-    // corpus_build)
-    for (q <- Seq("ft_df", "ft_weighted_count", "ft_hash_count", "ft_multicol", "ann_lsh_topk"))
-      try SparkEntry.queries(q)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    // pre-warm EVERY once-per-corpus intermediate (index variants, token/
+    // shingle tables, LSH signatures) and report the one-time cost under
+    // its own key — no driver query absorbs a materialization spike
+    val tw0 = System.nanoTime()
+    try SparkEntry.prewarm(spark, sfDir)
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] prewarm FAILED: ${t.getMessage}")
+    }
+    results += "prewarm_build" -> (System.nanoTime() - tw0) / 1e9
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()

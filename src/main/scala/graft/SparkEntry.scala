@@ -141,7 +141,7 @@ object SparkEntry {
       |       (SELECT CAST(unnest(range(1,65)) AS INTEGER) AS i)),
       |proj AS (SELECT vec_id, t, bit, sum(x*w) AS s FROM elems JOIN planes USING(i) GROUP BY 1,2,3),
       |sig AS (SELECT vec_id, t,
-      |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS bucket
+      |    CAST(sum(CASE WHEN round(s, 12) > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM proj GROUP BY 1,2),
       |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1)""".stripMargin
 
@@ -163,6 +163,22 @@ object SparkEntry {
         |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
         |)""".stripMargin
+
+  /** Materialize every once-per-corpus intermediate — index variants
+    * (plain/weighted/hash/multicol), the token and shingle tables, and the
+    * LSH signature table — so per-query bench numbers reflect the query,
+    * not a one-time ingest cost. Bench times this under its own
+    * `prewarm_build` key; in production these are ingest-time tables.
+    */
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    IndexCache.searcher(s, dir)
+    IndexCache.searcherW(s, dir)
+    IndexCache.searcherH(s, dir)
+    IndexCache.searcherM(s, dir)
+    tokens(s, dir).count()
+    shingles(s, dir).count()
+    EmbedCache.signatures(s, dir).count()
+  }
 
   // ------------------------------------------------------------------
   // driver contract

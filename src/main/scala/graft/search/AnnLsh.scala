@@ -85,10 +85,16 @@ object AnnLsh {
       zip_with(emb, typedlit(plane), (x, w) => x.cast("double") * w),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Bucket id: bit b set iff projection onto plane b is positive. */
+  /** Bucket id: bit b set iff projection onto plane b is positive. The
+    * projection is quantized to 12 decimals BEFORE the sign test (mirroring
+    * [[AnnIvf.clusterOf]]): double addition is non-associative, so a
+    * projection within last-ulp noise of ±0 must not flip a bucket bit
+    * between engines whose summation order differs (the SQL oracle sums
+    * x·w in an unordered GROUP BY).
+    */
   def bucket(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, b) =>
-      when(proj(emb, p) > 0, lit(1L << b)).otherwise(lit(0L))
+      when(round(proj(emb, p), 12) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Exact cosine similarity between an embedding column and a constant

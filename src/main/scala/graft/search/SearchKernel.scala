@@ -216,6 +216,111 @@ object SearchKernel extends Serializable {
     }
   }
 
+  /** Positional union over MANY members — a k-way min-heap (loser-tree
+    * analogue) replacing [[UnionCursor]]'s linear member scan once the
+    * prefix expansion is wide: advance/seek cost is O(active·log m) instead
+    * of O(m) per call, so a one-letter prefix over a large dictionary stays
+    * sub-linear in expansion width (the reference unions its partial-match
+    * expansion once into a sorted stream, src/rumget.c:292-481; this is the
+    * lazy-streaming equivalent). Heap entries are immutable while enqueued:
+    * only popped cursors advance, then reinsert.
+    *
+    * `peekBlock` returns null (unknown): the block-max bound over hundreds
+    * of members is both expensive and uselessly loose, and the WAND path
+    * never sees prefix keys (callers fall back to the term-level bound).
+    */
+  final class HeapUnionCursor(members: Array[PostingCursor]) extends KeyCursor {
+    private val heap = new java.util.PriorityQueue[PostingCursor](
+      math.max(members.length, 1),
+      (a: PostingCursor, b: PostingCursor) => java.lang.Long.compare(a.docId, b.docId))
+    members.foreach(m => if (!m.done) heap.add(m))
+    /** members positioned exactly at the current min doc (popped) */
+    private val atMin = mutable.ArrayBuffer.empty[PostingCursor]
+    private var curDoc = Long.MaxValue
+
+    private def fill(): Unit = {
+      if (atMin.isEmpty) {
+        if (heap.isEmpty) curDoc = Long.MaxValue
+        else {
+          curDoc = heap.peek().docId
+          while (!heap.isEmpty && heap.peek().docId == curDoc) atMin += heap.poll()
+        }
+      }
+    }
+
+    def done: Boolean = { fill(); atMin.isEmpty }
+    def docId: Long = { fill(); curDoc }
+
+    def next(): Unit = {
+      fill()
+      var i = 0
+      while (i < atMin.length) {
+        val c = atMin(i)
+        c.next()
+        if (!c.done) heap.add(c)
+        i += 1
+      }
+      atMin.clear()
+    }
+
+    def seek(target: Long): Unit = {
+      fill()
+      if (atMin.nonEmpty && curDoc >= target) return
+      // current members are below target: seek them individually, reinsert
+      var i = 0
+      while (i < atMin.length) {
+        val c = atMin(i)
+        c.seek(target)
+        if (!c.done) heap.add(c)
+        i += 1
+      }
+      atMin.clear()
+      // only cursors actually below target are touched — O(touched·log m)
+      while (!heap.isEmpty && heap.peek().docId < target) {
+        val c = heap.poll()
+        c.seek(target)
+        if (!c.done) heap.add(c)
+      }
+    }
+
+    def tf: Int = {
+      fill()
+      var s = 0
+      var i = 0
+      while (i < atMin.length) { s += atMin(i).tf; i += 1 }
+      s
+    }
+
+    def docLen: Int = {
+      fill()
+      if (atMin.isEmpty) 0 else atMin(0).docLen
+    }
+
+    def addonVal: Long = {
+      fill()
+      if (atMin.isEmpty) 0L else atMin(0).addon
+    }
+
+    def positions: (Array[Int], Array[Byte]) = {
+      fill()
+      val ps = mutable.ArrayBuffer.empty[(Int, Byte)]
+      var i = 0
+      while (i < atMin.length) {
+        val (p, w) = atMin(i).positions
+        var j = 0
+        while (j < p.length) { ps += ((p(j), w(j))); j += 1 }
+        i += 1
+      }
+      val sorted = ps.sortBy(_._1)
+      (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    }
+
+    def peekBlock(target: Long): PostingCursor.BlockInfo = null
+  }
+
+  /** member count above which prefix unions use the heap cursor */
+  val HeapUnionThreshold = 64
+
   /** Build one cursor per query key from the shard's posting rows.
     * Chunk rows of one term are ordered by their first docId (disjoint
     * ranges by construction — the builder splits long terms by docId range).
@@ -250,7 +355,11 @@ object SearchKernel extends Serializable {
       } else {
         val terms = byTerm.keysIterator.filter(_.startsWith(k.term)).toArray
         if (terms.isEmpty) EmptyCursor
-        else new UnionCursor(terms.flatMap(termCursors))
+        else {
+          val cs = terms.flatMap(termCursors)
+          if (cs.length > HeapUnionThreshold) new HeapUnionCursor(cs)
+          else new UnionCursor(cs)
+        }
       }
     }
   }

@@ -57,6 +57,22 @@ class TextAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh sign test is quantized: ±1e-13 projections cannot flip a bit") {
+    // summation-order noise near ±0 must round to a stable sign on every
+    // engine: bucket quantizes the projection to 12 decimals first
+    val plane = Array(Array(1.0, 1.0, 1.0))
+    val vecs = Seq(
+      (1L, Array(1.0f, -1.0f, 1.0e-13f)),  // rounds to 0 → bit clear
+      (2L, Array(1.0f, -1.0f, -1.0e-13f)), // rounds to 0 → bit clear
+      (3L, Array(1.0f, -1.0f, 2.0e-12f)),  // above quantum → bit set
+      (4L, Array(1.0f, 1.0f, 1.0f)))       // plainly positive → bit set
+    val got = vecs.toDF("vec_id", "embedding")
+      .withColumn("bucket", AnnLsh.bucket(col("embedding"), plane))
+      .select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("banded signatures: table t uses global planes [8t, 8t+8)") {
     val vecs = Seq(
       (1L, Array.tabulate(64)(i => (if (i % 3 == 0) 1.0f else -0.5f))),
