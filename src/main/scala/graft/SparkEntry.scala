@@ -119,6 +119,20 @@ object SparkEntry {
       })
   }
 
+  /** Trained IVF centroids per corpus (deterministic Lloyd's over a
+    * hash-ordered sample — see [[graft.search.AnnIvf.kmeansCentroids]]),
+    * computed once per JVM: training is ingest-time work, queries only
+    * read the k·dim result.
+    */
+  private object KMeansCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    def centroids(s: SparkSession, sfDir: String): Array[Array[Double]] =
+      cache.computeIfAbsent(sfDir, _ =>
+        graft.search.AnnIvf.kmeansCentroids(
+          s.read.parquet(s"$sfDir/embeddings.parquet"), "embedding", "vec_id",
+          k = 8, iters = 2, sampleN = 64))
+  }
+
   /** LSH geometry shared by the Spark queries and the DuckDB oracle:
     * 4 banded tables × 8 planes (32 planes total); table t owns global
     * planes [8t, 8t+8). See [[graft.search.AnnLsh]] for the pair-count
@@ -178,6 +192,7 @@ object SparkEntry {
     tokens(s, dir).count()
     shingles(s, dir).count()
     EmbedCache.signatures(s, dir).count()
+    KMeansCache.centroids(s, dir)
   }
 
   // ------------------------------------------------------------------
@@ -576,6 +591,24 @@ object SparkEntry {
       AnnIvf.assign(emb, "embedding", cents)
         .where(col("cluster").isin(probes: _*))
         .select(col("vec_id"), round(AnnLsh.cosineTo(col("embedding"), q), 4).as("sim"),
+          col("cluster"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+    }),
+    "ann_ivf_kmeans_topk" -> ((s, dir) => {
+      // IVF with TRAINED centroids: deterministic Lloyd's (2 iterations,
+      // 64-row hash-ordered sample, pinned tie/rounding rules) so the SQL
+      // oracle replays training, assignment, probe and rerank end-to-end;
+      // the fixed-row-centroid ann_ivf_topk remains as the demo baseline
+      import graft.search.AnnIvf
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = KMeansCache.centroids(s, dir)
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val probes = AnnIvf.probeClustersD(q, cents, 2)
+      AnnIvf.assignD(emb, "embedding", cents)
+        .where(col("cluster").isin(probes: _*))
+        .select(col("vec_id"), round(AnnIvf.cosineTo(col("embedding"), q), 4).as("sim"),
           col("cluster"))
         .orderBy(col("sim").desc, col("vec_id")).limit(10)
         .withColumn("rank", row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
@@ -1012,6 +1045,63 @@ object SparkEntry {
         |SELECT d.vec_id, round(dot/(n.nrm*qn.qn),4) AS sim, c.cluster,
         |  row_number() OVER (ORDER BY round(dot/(n.nrm*qn.qn),4) DESC, d.vec_id) AS rank
         |FROM dots d JOIN nrm n USING(vec_id) JOIN cand c USING(vec_id) CROSS JOIN qn
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+    // Trained-IVF oracle: the SQL replays the ENTIRE deterministic k-means
+    // (hash-ordered 64-row sample, seeds = first 8, two unrolled Lloyd's
+    // iterations with 12-dec quantized argmax assignment and 9-dec rounded
+    // means, empty clusters carrying forward), then assignment + probe +
+    // exact rerank — byte-for-byte the engine's pinned tie rules.
+    "ann_ivf_kmeans_topk" -> (EmbCte +
+      """,
+        |samp AS (SELECT vec_id, row_number() OVER (
+        |    ORDER BY CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT), vec_id) AS rn
+        |  FROM e),
+        |s64 AS (SELECT vec_id, rn FROM samp WHERE rn <= 64),
+        |c0 AS (SELECT s.rn - 1 AS cid, el.i, el.x
+        |  FROM s64 s JOIN elems el ON el.vec_id = s.vec_id WHERE s.rn <= 8),
+        |cn0 AS (SELECT cid, sqrt(sum(x*x)) AS cn FROM c0 GROUP BY 1),
+        |sim0 AS (SELECT v.vec_id, c.cid, round(sum(v.x*c.x)/(n.nrm*cn.cn), 12) AS s
+        |  FROM s64 sv JOIN elems v ON v.vec_id = sv.vec_id
+        |  JOIN c0 c ON c.i = v.i JOIN nrm n ON n.vec_id = v.vec_id JOIN cn0 cn ON cn.cid = c.cid
+        |  GROUP BY v.vec_id, c.cid, n.nrm, cn.cn),
+        |a0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sim0) x
+        |  WHERE rn = 1),
+        |m0 AS (SELECT a.cid, el.i, round(avg(el.x), 9) AS mx
+        |  FROM a0 a JOIN elems el ON el.vec_id = a.vec_id GROUP BY 1,2),
+        |c1 AS (SELECT c0.cid, c0.i, coalesce(m0.mx, c0.x) AS x
+        |  FROM c0 LEFT JOIN m0 ON m0.cid = c0.cid AND m0.i = c0.i),
+        |cn1 AS (SELECT cid, sqrt(sum(x*x)) AS cn FROM c1 GROUP BY 1),
+        |sim1 AS (SELECT v.vec_id, c.cid, round(sum(v.x*c.x)/(n.nrm*cn.cn), 12) AS s
+        |  FROM s64 sv JOIN elems v ON v.vec_id = sv.vec_id
+        |  JOIN c1 c ON c.i = v.i JOIN nrm n ON n.vec_id = v.vec_id JOIN cn1 cn ON cn.cid = c.cid
+        |  GROUP BY v.vec_id, c.cid, n.nrm, cn.cn),
+        |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sim1) x
+        |  WHERE rn = 1),
+        |m1 AS (SELECT a.cid, el.i, round(avg(el.x), 9) AS mx
+        |  FROM a1 a JOIN elems el ON el.vec_id = a.vec_id GROUP BY 1,2),
+        |c2 AS (SELECT c1.cid, c1.i, coalesce(m1.mx, c1.x) AS x
+        |  FROM c1 LEFT JOIN m1 ON m1.cid = c1.cid AND m1.i = c1.i),
+        |cn2 AS (SELECT cid, sqrt(sum(x*x)) AS cn FROM c2 GROUP BY 1),
+        |simsK AS (SELECT v.vec_id, c.cid, round(sum(v.x*c.x)/(n.nrm*cn.cn), 12) AS s
+        |  FROM elems v JOIN c2 c ON c.i = v.i
+        |  JOIN nrm n ON n.vec_id = v.vec_id JOIN cn2 cn ON cn.cid = c.cid
+        |  GROUP BY v.vec_id, c.cid, n.nrm, cn.cn),
+        |assignK AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |  FROM simsK) x WHERE rn = 1),
+        |qprobeK AS (SELECT cid FROM (
+        |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) AS rn
+        |  FROM simsK WHERE vec_id = 0) x WHERE rn <= 2),
+        |candK AS (SELECT a.vec_id, a.cluster FROM assignK a JOIN qprobeK p ON a.cluster = p.cid),
+        |qeK AS (SELECT i, x FROM elems WHERE vec_id = 0),
+        |qnK AS (SELECT sqrt(sum(x*x)) AS qn FROM qeK),
+        |dotsK AS (SELECT e2.vec_id, sum(e2.x*q.x) AS dot
+        |  FROM elems e2 JOIN qeK q USING(i) JOIN candK c ON c.vec_id = e2.vec_id GROUP BY 1)
+        |SELECT d.vec_id, round(dot/(n.nrm*qnK.qn),4) AS sim, c.cluster,
+        |  row_number() OVER (ORDER BY round(dot/(n.nrm*qnK.qn),4) DESC, d.vec_id) AS rank
+        |FROM dotsK d JOIN nrm n USING(vec_id) JOIN candK c USING(vec_id) CROSS JOIN qnK
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
     "dedup_embed_lsh" -> (EmbCte +
       """,

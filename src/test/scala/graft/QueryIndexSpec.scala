@@ -37,7 +37,7 @@ class QueryIndexSpec extends AnyFunSuite {
 
   test("ruminv truth table (expected/ruminv.out)") {
     val built = QueryIndex.build(spark, queries.toDF("id", "q"))
-    assert(built.emptyMatchers.toSet == Set(3L, 4L, 5L, 10L))
+    assert(built.emptyMatchers.collect().map(_.getLong(0)).toSet == Set(3L, 4L, 5L, 10L))
     val docs = golden.zipWithIndex.map { case ((probe, _), i) => (i.toLong, probe) }
     val res = QueryIndex.probe(spark, built, docs.toDF("doc_id", "text"), "doc_id", "text")
       .collect().groupBy(_.getLong(0)).view
@@ -45,6 +45,35 @@ class QueryIndexSpec extends AnyFunSuite {
     golden.zipWithIndex.foreach { case ((probe, want), i) =>
       val got = res.getOrElse(i.toLong, Set.empty[Long])
       assert(got == want, s"probe '$probe': got $got want $want")
+    }
+  }
+
+  test("100k stored queries: fully distributed build/probe, exact matches") {
+    // query i = "w{i%K} & w{(i/K)%K}" — semantics invertible, so the
+    // expectation is computed per doc without evaluating 100k trees.
+    // Nothing is collected driver-side: build is a Dataset map and the
+    // probe's task closures carry no per-query state (the source string
+    // rides the candidate join and compiles per executor).
+    val K = 317
+    val nQ = 100000
+    val qs = spark.range(nQ).selectExpr("id",
+      s"concat('w', id % $K, ' & w', (id div $K) % $K) AS q")
+    val built = QueryIndex.build(spark, qs, "id", "q")
+    assert(built.entries.count() >= nQ) // ~2 entries per query minus self-pairs
+
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 40).map { d =>
+      val terms = Seq.fill(8)(rnd.nextInt(K)).distinct
+      (d.toLong, terms.map(t => s"w$t").mkString(" "), terms.toSet)
+    }
+    val got = QueryIndex.probe(spark, built,
+        docs.map(t => (t._1, t._2)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    docs.foreach { case (id, _, terms) =>
+      val want = (for (a <- terms; b <- terms) yield b.toLong * K + a)
+        .filter(i => i >= 0 && i < nQ)
+      assert(got.getOrElse(id, Set.empty[Long]) == want, s"doc $id")
     }
   }
 

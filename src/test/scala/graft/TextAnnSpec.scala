@@ -138,6 +138,48 @@ class TextAnnSpec extends AnyFunSuite {
     assert(cand.nonEmpty && cand.size < 40)
   }
 
+  test("trained ivf: deterministic kmeans, total assignment, skew beats fixed centroids") {
+    import graft.search.AnnIvf
+    val n = 360
+    val dim = 8
+    // three direction clusters with disjoint support: main axis c, small
+    // deterministic noise on axis c+3 — cross-cluster cosine is exactly 0
+    def vecOf(cluster: Int, i: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(cluster) = 1.0f
+      v((cluster + 3) % dim) = 0.1f * ((i % 7) - 3)
+      v
+    }
+    // membership: the hash-ordered sample's first rows span the clusters
+    // (so seeding works without kmeans++), while the fixed-centroid demo
+    // rows (ids 0..2) share ONE cluster — the skewed layout to beat
+    val hashOrder = (0 until n).sortBy(i => (AnnLsh.hash60(i.toString), i))
+    val seedIds = hashOrder.take(3)
+    val clusterOfId = (0 until n).map { i =>
+      val si = seedIds.indexOf(i)
+      if (si >= 0) si else if (i <= 2) 0 else i % 3
+    }
+    val df = (0 until n).map(i => (i.toLong, vecOf(clusterOfId(i), i)))
+      .toDF("vec_id", "embedding")
+    val c1 = AnnIvf.kmeansCentroids(df, "embedding", "vec_id", k = 3, iters = 2, sampleN = 30)
+    val c2 = AnnIvf.kmeansCentroids(df, "embedding", "vec_id", k = 3, iters = 2, sampleN = 30)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // deterministic replay
+
+    val trained = AnnIvf.assignD(df, "embedding", c1)
+      .groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(trained.values.sum == n) // total assignment
+    val fixedCents = (0 to 2).map(i => vecOf(clusterOfId(i), i)).toArray
+    val fixed = AnnIvf.assign(df, "embedding", fixedCents)
+      .groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // fixed same-direction centroids collapse most of the corpus onto one
+    // cluster; trained centroids stay near-balanced
+    assert(trained.values.max < fixed.values.max,
+      s"trained=$trained fixed=$fixed")
+    assert(trained.values.max <= n / 3 + n / 6, s"trained=$trained")
+  }
+
   test("cosine kernels: exact on hand values") {
     val df = Seq((1L, Array(3.0f, 4.0f), Array(3.0f, 4.0f)),
       (2L, Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
