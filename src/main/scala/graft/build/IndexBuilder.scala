@@ -264,8 +264,23 @@ object IndexBuilder {
     * Output is canonical: independent of the input partitioning, the same
     * corpus packs byte-identical chunks (rebuild/resume determinism).
     */
+  /** Per-shard pack/merge wall time (nanos) harvested from stage-B tasks —
+    * makes ShardMeta.buildMs a real per-shard metric instead of the job
+    * wall stamped onto every shard. Task retries could double-count; the
+    * metric is lineage/diagnostics, not billing.
+    */
+  private def newPackAcc(spark: SparkSession) =
+    spark.sparkContext.collectionAccumulator[(Int, Long)]("graft.shardPackNanos")
+
+  private def packAccMs(acc: org.apache.spark.util.CollectionAccumulator[(Int, Long)]): Map[Int, Long] = {
+    val m = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    acc.value.forEach(e => m(e._1) += e._2)
+    m.map { case (s, ns) => s -> math.max(1L, ns / 1000000L) }.toMap
+  }
+
   private def packDataset(spark: SparkSession, exploded: DataFrame,
-                          params: Params, alt: Boolean = false): Dataset[PostingRow] = {
+                          params: Params, alt: Boolean = false,
+                          packAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long)]] = None): Dataset[PostingRow] = {
     import spark.implicits._
     val blockSize = params.blockSize
     val maxChunk = params.maxPostingsPerChunk
@@ -336,15 +351,18 @@ object IndexBuilder {
     runs
       .repartition(p, col("shard"), col("term"))
       .sortWithinPartitions("shard", "term", "firstDoc")
-      .mapPartitions(it => mergeCells(it, blockSize, maxChunk, alt))
+      .mapPartitions(it => mergeCells(it, blockSize, maxChunk, alt, packAcc))
   }
 
   /** Merge consecutive same-(shard,term) runs into canonical chunk rows. */
   private def mergeCells(it: Iterator[RunRow], blockSize: Int,
-                         maxChunk: Int, alt: Boolean = false): Iterator[PostingRow] = {
+                         maxChunk: Int, alt: Boolean = false,
+                         packAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long)]] = None): Iterator[PostingRow] = {
     val runsIt = it.buffered
     new Iterator[PostingRow] {
       private var pending: List[PostingRow] = Nil
+      private val perShard = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+      private var flushedAcc = false
 
       private def emit(shard: Int, term: String, runs: Seq[RunRow]): List[PostingRow] = {
         // fast path: one run, fits one chunk — reuse packed blocks verbatim
@@ -403,12 +421,18 @@ object IndexBuilder {
 
       private def fill(): Unit = {
         while (pending.isEmpty && runsIt.hasNext) {
+          val t0 = System.nanoTime()
           val head = runsIt.next()
           val cell = scala.collection.mutable.ArrayBuffer(head)
           while (runsIt.hasNext && runsIt.head.shard == head.shard &&
                  runsIt.head.term == head.term)
             cell += runsIt.next()
           pending = emit(head.shard, head.term, cell.toSeq)
+          if (packAcc.isDefined) perShard(head.shard) += System.nanoTime() - t0
+        }
+        if (pending.isEmpty && !runsIt.hasNext && !flushedAcc) {
+          flushedAcc = true
+          packAcc.foreach(a => perShard.foreach { case (s, ns) => a.add((s, ns)) })
         }
       }
 
@@ -421,10 +445,14 @@ object IndexBuilder {
     * on disk — ONE heavy pass over the postings (grouped to (shard, term)
     * cells, then two micro re-aggregations), not one per output.
     */
+  /** `shardMs`: real per-shard pack/merge wall ms (from the stage-B
+    * accumulator); shards without a measurement fall back to the job wall.
+    */
   private def refresh(spark: SparkSession, indexDir: String, params: Params,
                       buildMs: Long, lineage: String,
                       lastBatchId: Long = -1L, fields: String = "",
-                      dataFiles: Map[String, List[String]] = Map.empty): IndexMeta = {
+                      dataFiles: Map[String, List[String]] = Map.empty,
+                      shardMs: Map[Int, Long] = Map.empty): IndexMeta = {
     // top-level ndocs/maxTf columns mean this pass never touches the fat
     // `blocks` column — parquet column pruning keeps the stats refresh a
     // metadata-sized read, not a full index re-read. Explicit schemas keep
@@ -446,7 +474,8 @@ object IndexBuilder {
     val shardsMeta = cells.groupBy("shard")
       .agg(count(lit(1)).as("terms"), sum("rows").as("rows"), sum("df").as("postings"))
       .collect()
-      .map(r => ShardMeta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), buildMs, now))
+      .map(r => ShardMeta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        shardMs.getOrElse(r.getInt(0), buildMs), now))
       .toList
     cells.unpersist()
 
@@ -512,14 +541,15 @@ object IndexBuilder {
       }
     }
 
+    val packAcc = newPackAcc(spark)
     if (remaining.nonEmpty) {
       val exploded = explodedOf(todo, params)
-      packDataset(spark, exploded, params)
+      packDataset(spark, exploded, params, packAcc = Some(packAcc))
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.postingsDir(indexDir))
 
       if (params.altOrder)
-        packDataset(spark, exploded, params, alt = true)
+        packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
           .write.mode("append").partitionBy("shard")
           .parquet(SegmentCatalog.altDir(indexDir))
 
@@ -535,8 +565,12 @@ object IndexBuilder {
 
     val buildMs = System.currentTimeMillis() - t0
     val lineage = corpus.queryExecution.logical.toString.linesIterator.take(1).mkString
+    // committed (resumed-over) shards keep their prior per-shard timing
+    val priorMs = prior.map(_.shards.map(s => s.shard -> s.buildMs).toMap)
+      .getOrElse(Map.empty[Int, Long])
     refresh(spark, indexDir, params, buildMs, lineage,
-      dataFiles = currentListing(indexDir, params))
+      dataFiles = currentListing(indexDir, params),
+      shardMs = priorMs ++ packAccMs(packAcc))
   }
 
   /** Full on-disk listing — valid when the writer owns the directories
@@ -573,11 +607,12 @@ object IndexBuilder {
       explodedOf(normalize(corpus, docIdCol, colName, params), params,
         keyPrefix = fname + FieldSep)
     }.reduce(_ unionAll _)
-    packDataset(spark, exploded, params)
+    val packAcc = newPackAcc(spark)
+    packDataset(spark, exploded, params, packAcc = Some(packAcc))
       .write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.postingsDir(indexDir))
     if (params.altOrder)
-      packDataset(spark, exploded, params, alt = true)
+      packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.altDir(indexDir))
 
@@ -599,7 +634,8 @@ object IndexBuilder {
     val lineage = s"multicol(${fields.map(_._1).mkString(",")})"
     refresh(spark, indexDir, params, buildMs, lineage,
       fields = fields.map(_._1).mkString(","),
-      dataFiles = currentListing(indexDir, params))
+      dataFiles = currentListing(indexDir, params),
+      shardMs = packAccMs(packAcc))
   }
 
   /** Incremental insert: append a micro-segment per shard for new docs
@@ -673,11 +709,12 @@ object IndexBuilder {
     val (altDisk, altCommitted) = before("alt")
     val (docsDisk, docsCommitted) = before("docs")
 
-    packDataset(spark, exploded, params)
+    val packAcc = newPackAcc(spark)
+    packDataset(spark, exploded, params, packAcc = Some(packAcc))
       .write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.postingsDir(indexDir))
     if (params.altOrder)
-      packDataset(spark, exploded, params, alt = true)
+      packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.altDir(indexDir))
     docsDF.write.mode("append").partitionBy("shard")
@@ -694,9 +731,13 @@ object IndexBuilder {
        else Map.empty)
 
     val buildMs = System.currentTimeMillis() - t0
+    // per-shard timing accumulates across appends (prior + this delta)
+    val priorMs = meta.shards.map(s => s.shard -> s.buildMs).toMap
+    val delta = packAccMs(packAcc)
+    val combined = priorMs ++ delta.map { case (s, ms) => s -> (priorMs.getOrElse(s, 0L) + ms) }
     refresh(spark, indexDir, params, buildMs, lineage,
       lastBatchId = math.max(meta.lastBatchId, batchId), fields = meta.fields,
-      dataFiles = dataFiles)
+      dataFiles = dataFiles, shardMs = combined)
   }
 
   /** Garbage-collect data files not covered by the manifest listing —
@@ -841,15 +882,16 @@ object IndexBuilder {
       case None => decoded
     }
 
+    val packAcc = newPackAcc(spark)
     val tmpPost = SegmentCatalog.postingsDir(indexDir) + ".tmp"
     deleteRecursively(tmpPost)
-    packDataset(spark, kept, params)
+    packDataset(spark, kept, params, packAcc = Some(packAcc))
       .write.mode("overwrite").partitionBy("shard").parquet(tmpPost)
 
     val tmpAlt = SegmentCatalog.altDir(indexDir) + ".tmp"
     if (params.altOrder) {
       deleteRecursively(tmpAlt)
-      packDataset(spark, kept, params, alt = true)
+      packDataset(spark, kept, params, alt = true, packAcc = Some(packAcc))
         .write.mode("overwrite").partitionBy("shard").parquet(tmpAlt)
     }
 
@@ -877,6 +919,7 @@ object IndexBuilder {
     val buildMs = System.currentTimeMillis() - t0
     refresh(spark, indexDir, params, buildMs, s"compact(exclude=${exclude.isDefined})",
       lastBatchId = meta.lastBatchId, fields = meta.fields,
-      dataFiles = currentListing(indexDir, params))
+      dataFiles = currentListing(indexDir, params),
+      shardMs = packAccMs(packAcc))
   }
 }

@@ -7,6 +7,11 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * src/rum.h:67-102 nEntries/nDataPages/..., updated at
   * src/ruminsert.c:676-677) generalized to lineage + metrics per segment
   * shard, as the scaling/resumability contract requires.
+  *
+  * `buildMs` is the REAL per-shard pack/merge wall time harvested from the
+  * build's stage-B tasks (cumulative across appends; task retries may
+  * double-count — it is a diagnostics metric). Shards built before this
+  * was measured carry the job wall as a fallback.
   */
 final case class ShardMeta(
     shard: Int,

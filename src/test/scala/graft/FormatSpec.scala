@@ -29,6 +29,22 @@ class FormatSpec extends AnyFunSuite {
     assert(SegmentCatalog.load(dir).get.formatVersion == IndexBuilder.CurrentFormat)
   }
 
+  test("per-shard buildMs is measured, not the job wall stamped everywhere") {
+    val dir = java.nio.file.Files.createTempDirectory("fmtms").toString
+    val docs = (0 until 200).map(i => (i.toLong, s"alpha beta doc$i word${i % 9}", i.toLong))
+    val t0 = System.currentTimeMillis()
+    IndexBuilder.build(spark, docs.toDF("id", "t", "w"), "id", "t", dir,
+      IndexBuilder.Params(nShards = 4, attach = Some("w")))
+    val jobWall = System.currentTimeMillis() - t0
+    val shards = SegmentCatalog.load(dir).get.shards
+    assert(shards.nonEmpty)
+    // every committed shard carries a real positive measurement, and the
+    // per-shard pack time is a fraction of the whole job wall (tokenize +
+    // shuffle + write dominate) — the old code stamped jobWall on each
+    shards.foreach(s => assert(s.buildMs >= 1, s"shard ${s.shard}"))
+    assert(shards.map(_.buildMs).sum < jobWall, s"sum=${shards.map(_.buildMs).sum} wall=$jobWall")
+  }
+
   test("down-versioned manifest: searcher, append, compact refuse cleanly") {
     val dir = buildSmall()
     val meta = SegmentCatalog.load(dir).get
