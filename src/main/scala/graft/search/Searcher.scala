@@ -125,7 +125,9 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   def matchingDocs(queryStr: String): DataFrame = matchingDocsC(compile(queryStr))
 
   private def matchingDocsC(cq: CompiledQuery): DataFrame = {
-    if (SearchKernel.needsFullScan(cq))
+    if (SearchKernel.isVoid(cq)) // empty tsquery: no scan at all (isVoidRes)
+      spark.range(0).select(col("id").as("docId"))
+    else if (SearchKernel.needsFullScan(cq))
       fullScan(cq, score = false, matchOnly = true, k = 0).select(col("docId"))
     else {
       val keys = SearchKernel.keySpecs(cq)
@@ -187,7 +189,9 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     matchingWithAddonC(compile(queryStr))
 
   private def matchingWithAddonC(cq: CompiledQuery): DataFrame = {
-    if (SearchKernel.needsFullScan(cq))
+    if (SearchKernel.isVoid(cq))
+      spark.range(0).select(col("id").as("docId"), col("id").as("addon"))
+    else if (SearchKernel.needsFullScan(cq))
       fullScan(cq, score = false, matchOnly = true, k = 0)
         .select(col("docId"), col("addon"))
     else {
@@ -334,6 +338,9 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   private def topKCoverC(cq: CompiledQuery, k: Int, matchOnly: Boolean,
                          method: Int, scoreCq: CompiledQuery,
                          scoreMap: Array[Int]): DataFrame = {
+    if (SearchKernel.isVoid(cq) && matchOnly)
+      return spark.range(0)
+        .select(col("id").as("docId"), col("id").cast("double").as("distance"))
     val needsHeap = (method & (CoverRank.NormUniq | CoverRank.NormLogUniq)) != 0
     val base =
       if (!matchOnly || needsHeap || SearchKernel.needsFullScan(cq))

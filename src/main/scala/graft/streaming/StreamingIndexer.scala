@@ -53,4 +53,29 @@ object StreamingIndexer {
       }
       .start()
   }
+
+  /** Multi-column variant: stream into an index built by
+    * [[IndexBuilder.buildFields]] — same exactly-once micro-segment commit,
+    * with field-prefixed keys via [[IndexBuilder.appendFields]].
+    */
+  def startFields(spark: SparkSession, stream: DataFrame, docIdCol: String,
+                  fields: Seq[(String, String)], indexDir: String,
+                  checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(SegmentCatalog.load(indexDir).nonEmpty,
+      s"no index manifest in $indexDir — run IndexBuilder.buildFields first")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = SegmentCatalog.load(indexDir).map(_.lastBatchId).getOrElse(-1L)
+        if (batchId <= applied) ()
+        else if (!batch.isEmpty) {
+          IndexBuilder.appendFields(spark, batch, docIdCol, fields, indexDir,
+            batchId = batchId)
+          ()
+        }
+      }
+      .start()
+  }
 }

@@ -65,6 +65,18 @@ class FormatSpec extends AnyFunSuite {
     assert(new Searcher(spark, dir).count("beta") == 2)
   }
 
+  test("empty tsquery is void: zero rows with NO index scan (isVoidRes)") {
+    val dir = buildSmall()
+    val s = new Searcher(spark, dir)
+    val df = s.matchingDocs("")
+    assert(df.count() == 0)
+    // the plan must not touch the index — void result short-circuits
+    // before any scan is declared (RUM initScanKey isVoidRes)
+    assert(!df.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    assert(s.topKCover("   ", 5).count() == 0)
+    assert(s.topKAddon("", 10L, "both", 5).count() == 0)
+  }
+
   test("empty data-file listings round-trip distinct from legacy manifests") {
     val dir = buildSmall()
     val meta = SegmentCatalog.load(dir).get

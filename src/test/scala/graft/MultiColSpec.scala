@@ -148,6 +148,18 @@ class MultiColSpec extends AnyFunSuite {
     got.zip(expected).foreach { case ((_, g), (_, e)) => assert(math.abs(g - e) < 1e-9) }
   }
 
+  test("multicol ranked plan: field-prefixed term predicate pushed to the scan") {
+    val df = searcherO.topKCoverMulti("body", "common & gamma", Seq("title" -> "alpha"), 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // all three field-prefixed keys reach the parquet scan as pushed
+    // filters — the multicolumn entry-tree descent analogue
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    Seq(IndexBuilder.fieldKey("body", "common"), IndexBuilder.fieldKey("body", "gamma"),
+        IndexBuilder.fieldKey("title", "alpha")).foreach { k =>
+      assert(plan.contains(k), "missing pushed key " + k.replace(IndexBuilder.FieldSep, "|"))
+    }
+  }
+
   test("appendFields: incremental insert into a multi-column index") {
     val docs = (0 until 200).map(i => (i.toLong, title(i), body(i))).toDF("doc_id", "title", "body")
     val more = (200 until 300).map(i => (i.toLong, title(i), body(i))).toDF("doc_id", "title", "body")

@@ -54,4 +54,32 @@ class StreamingIndexerSpec extends AnyFunSuite {
         s2.matchingDocs(q).collect().map(_.getLong(0)).sorted.toSeq, s"query $q")
     }
   }
+
+  test("streamed appends into a multi-column index (startFields)") {
+    val dir = java.nio.file.Files.createTempDirectory("stridxm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("strckptm").toString
+
+    val seed = Seq((1L, "alpha beta", "en"), (2L, "beta gamma", "de"))
+      .toDF("doc_id", "body", "lang")
+    IndexBuilder.buildFields(spark, seed, "doc_id",
+      Seq("body" -> "body", "lang" -> "lang"), dir, IndexBuilder.Params(nShards = 4))
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData((3L, "alpha delta", "en"), (4L, "beta alpha", "fr"))
+    val q = StreamingIndexer.startFields(spark,
+      mem.toDF.toDF("doc_id", "body", "lang"), "doc_id",
+      Seq("body" -> "body", "lang" -> "lang"), dir, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    mem.addData((5L, "delta", "en"))
+    q.processAllAvailable()
+    q.stop()
+
+    val s = new Searcher(spark, dir)
+    assert(s.countMulti(Seq("body" -> "alpha")) == 3) // docs 1,3,4
+    assert(s.countMulti(Seq("body" -> "alpha", "lang" -> "en")) == 2) // 1,3
+    assert(s.countMulti(Seq("body" -> "delta", "lang" -> "en | fr")) == 2) // 3,5
+    assert(s.meta.numDocs == 5)
+  }
 }

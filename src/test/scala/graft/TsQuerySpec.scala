@@ -48,6 +48,19 @@ class TsQuerySpec extends AnyFunSuite {
   private def toks(text: String): Map[String, Array[Int]] =
     Tokenizer.simple(text).map(o => o.term -> o.positions).toMap
 
+  test("empty tsquery: parses to Empty, compiles void, matches nothing") {
+    assert(TsQueryParser.parse("") == Empty)
+    assert(TsQueryParser.parse("   ") == Empty)
+    val cq = CompiledQuery.compile(Empty)
+    assert(cq.numKeys == 0)
+    assert(graft.search.SearchKernel.isVoid(cq))
+    assert(!graft.search.SearchKernel.matchesEmptyDoc(cq))
+    // a pure negation is NOT void — it needs the EVERYTHING full scan
+    val notQ = CompiledQuery.compile(TsQueryParser.parse("!a"))
+    assert(!graft.search.SearchKernel.isVoid(notQ))
+    assert(graft.search.SearchKernel.needsFullScan(notQ))
+  }
+
   test("boolean eval") {
     val d = toks("the quick brown fox jumps over the lazy dog")
     assert(matchDoc("quick & fox", d))
