@@ -185,11 +185,16 @@ object SparkEntry {
     * `prewarm_build` key; in production these are ingest-time tables.
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
-    // a trivial absent-term count per variant materializes the Searcher's
-    // lazy file listings + parquet footers (part of ingest, not the query)
+    // a trivial absent-term query per variant AND layout materializes the
+    // Searcher's lazy file listings + parquet footers (ingest-time work,
+    // not the query): count touches postings, topKAddon touches the
+    // alt-order copy
     Seq(IndexCache.searcher(s, dir), IndexCache.searcherW(s, dir),
         IndexCache.searcherH(s, dir)).foreach(_.count("zzzgraftwarm"))
-    IndexCache.searcherM(s, dir).countMulti(Seq("text" -> "zzzgraftwarm"))
+    IndexCache.searcher(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count()
+    val m = IndexCache.searcherM(s, dir)
+    m.countMulti(Seq("text" -> "zzzgraftwarm"))
+    m.topKAddonMulti(Seq("text" -> "zzzgraftwarm"), 0L, "both", 1).count()
     tokens(s, dir).count()
     shingles(s, dir).count()
     EmbedCache.signatures(s, dir).count()
