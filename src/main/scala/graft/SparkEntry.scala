@@ -346,6 +346,24 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), col("distance"))
         .orderBy("distance", "doc_id")
     }),
+    "ft_rank_extdist" -> ((s, dir) => {
+      // EXTDIST norm: score divided by the harmonic mean of consecutive
+      // cover-extent distances (reference calc_score_docr epilogue,
+      // src/rum_ts_utils.c:1300-1310)
+      IndexCache.searcher(s, dir).topKCover("order & window", 10,
+        method = graft.query.CoverRank.NormExtDist)
+        .withColumn("distance", round(col("distance"), 4))
+        .select(col("docId").as("doc_id"), col("distance"))
+        .orderBy("distance", "doc_id")
+    }),
+    "ft_rank_rdiv" -> ((s, dir) => {
+      // RDIVRPLUS1 norm: score -> score/(score+1) before inversion
+      IndexCache.searcher(s, dir).topKCover("order & window", 10,
+        method = graft.query.CoverRank.NormRDivRPlus1)
+        .withColumn("distance", round(col("distance"), 4))
+        .select(col("docId").as("doc_id"), col("distance"))
+        .orderBy("distance", "doc_id")
+    }),
     "ft_hash_count" -> ((s, dir) => {
       // hash-keyed opclass: same boolean semantics over 64-bit hashed
       // entry keys (rum_tsvector_hash_ops, expected/rum_hash.out)
@@ -826,6 +844,56 @@ object SparkEntry {
         |           FROM scores s JOIN lens ON lens.doc_id = s.doc_id),
         |dists AS (SELECT doc_id, CAST(CAST(1.0 AS REAL)/CAST(score AS REAL) AS DOUBLE) AS d
         |          FROM normed)
+        |SELECT doc_id, round(d, 4) AS distance
+        |FROM dists ORDER BY d, doc_id LIMIT 10""".stripMargin),
+    // EXTDIST oracle: covers emitted in forward-scan order (increasing p);
+    // extent position = (p+q)/2; sumDist = Σ 1/(ext − prevExt) over
+    // consecutive covers with increasing ext; score ÷= nExtent/sumDist
+    "ft_rank_extdist" -> (ToksCte +
+      """,
+        |occ AS (SELECT doc_id, pos, term FROM toks WHERE term IN ('order','window')),
+        |seq AS (SELECT doc_id, pos, term,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS q,
+        |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm
+        |        FROM occ),
+        |covers AS (SELECT doc_id, pos AS p, q, term AS t1 FROM seq
+        |           WHERE nterm IS NOT NULL AND nterm <> term),
+        |numbered AS (SELECT doc_id, p, q, t1,
+        |             row_number() OVER (PARTITION BY doc_id, t1 ORDER BY p) AS l
+        |             FROM covers),
+        |scores AS (SELECT doc_id, sum(0.2/(q - p)/(l*l)/1.64493406685) AS score
+        |           FROM numbered GROUP BY doc_id),
+        |exts AS (SELECT doc_id, (p + q)/2.0 AS ext,
+        |         lag((p + q)/2.0) OVER (PARTITION BY doc_id ORDER BY p) AS pext
+        |         FROM covers),
+        |sums AS (SELECT doc_id, count(*) AS next,
+        |         sum(CASE WHEN pext IS NOT NULL AND ext > pext THEN 1.0/(ext - pext) END) AS sumdist
+        |         FROM exts GROUP BY doc_id),
+        |normed AS (SELECT s.doc_id,
+        |           CASE WHEN m.next > 0 AND coalesce(m.sumdist, 0) > 0
+        |                THEN s.score / (m.next / m.sumdist) ELSE s.score END AS score
+        |           FROM scores s JOIN sums m ON m.doc_id = s.doc_id),
+        |dists AS (SELECT doc_id, CAST(CAST(1.0 AS REAL)/CAST(score AS REAL) AS DOUBLE) AS d
+        |          FROM normed)
+        |SELECT doc_id, round(d, 4) AS distance
+        |FROM dists ORDER BY d, doc_id LIMIT 10""".stripMargin),
+    "ft_rank_rdiv" -> (ToksCte +
+      """,
+        |occ AS (SELECT doc_id, pos, term FROM toks WHERE term IN ('order','window')),
+        |seq AS (SELECT doc_id, pos, term,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS q,
+        |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm
+        |        FROM occ),
+        |covers AS (SELECT doc_id, pos AS p, q, term AS t1 FROM seq
+        |           WHERE nterm IS NOT NULL AND nterm <> term),
+        |numbered AS (SELECT doc_id, p, q, t1,
+        |             row_number() OVER (PARTITION BY doc_id, t1 ORDER BY p) AS l
+        |             FROM covers),
+        |scores AS (SELECT doc_id, sum(0.2/(q - p)/(l*l)/1.64493406685) AS score
+        |           FROM numbered GROUP BY doc_id),
+        |dists AS (SELECT doc_id,
+        |          CAST(CAST(1.0 AS REAL)/CAST(score/(score + 1) AS REAL) AS DOUBLE) AS d
+        |          FROM scores)
         |SELECT doc_id, round(d, 4) AS distance
         |FROM dists ORDER BY d, doc_id LIMIT 10""".stripMargin),
     "ft_hash_count" -> (ToksCte +

@@ -839,6 +839,38 @@ object IndexBuilder {
         out.iterator
       }.take(20)
     issues ++= bad
+
+    // alt-order layout: same header invariants with ties allowed (the key
+    // slot holds addons — equal addons are legal), and the two layouts
+    // must carry the SAME posting multiset size per term
+    if (meta.altOrder) {
+      val badAlt = readDataset(spark, indexDir, readable, "alt").as[PostingRow]
+        .flatMap { r =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          if (r.blocks.isEmpty) out += s"alt ${r.term}: empty chunk"
+          r.blocks.foreach { b =>
+            if (b.n <= 0 || b.firstDoc > b.lastDoc)
+              out += s"alt ${r.term}: bad block header (n=${b.n}, ${b.firstDoc}..${b.lastDoc})"
+          }
+          var i = 1
+          while (i < r.blocks.length) {
+            if (r.blocks(i).firstDoc < r.blocks(i - 1).lastDoc)
+              out += s"alt ${r.term}: decreasing blocks at $i"
+            i += 1
+          }
+          out.iterator
+        }.take(20)
+      issues ++= badAlt
+      val primTotals = readDataset(spark, indexDir, readable, "postings")
+        .groupBy("term").agg(sum("ndocs").as("n"))
+      val altTotals = readDataset(spark, indexDir, readable, "alt")
+        .groupBy("term").agg(sum("ndocs").as("n"))
+      val mismatched = primTotals.join(altTotals, Seq("term"), "full_outer")
+        .where(primTotals("n") =!= altTotals("n") ||
+          primTotals("n").isNull || altTotals("n").isNull)
+        .select(col("term")).as[String].take(20)
+      mismatched.foreach(t => issues += s"alt/primary posting count mismatch: term $t")
+    }
     issues.toList
   }
 

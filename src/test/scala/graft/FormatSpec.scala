@@ -87,6 +87,24 @@ class FormatSpec extends AnyFunSuite {
     assert(loaded.dataFiles("postings") == meta.dataFiles("postings"))
   }
 
+  test("validate covers the alt layout: clean build passes, dirty dup-docId input is flagged") {
+    val clean = java.nio.file.Files.createTempDirectory("fmtaltv").toString
+    val docs = (0 until 50).map(i => (i.toLong, s"alpha beta word${i % 5}", i.toLong))
+    IndexBuilder.build(spark, docs.toDF("id", "t", "w"), "id", "t", clean,
+      IndexBuilder.Params(nShards = 2, attach = Some("w"), altOrder = true))
+    assert(IndexBuilder.validate(spark, clean).isEmpty)
+
+    // duplicate docId with two addons: primary keep-first drops one entry,
+    // the (addon, docId)-ordered copy keeps both — a real layout divergence
+    // validate must surface
+    val dirty = java.nio.file.Files.createTempDirectory("fmtaltd").toString
+    val dup = Seq((1L, "alpha", 10L), (1L, "alpha", 99L), (2L, "alpha beta", 20L))
+    IndexBuilder.build(spark, dup.toDF("id", "t", "w").repartition(1), "id", "t", dirty,
+      IndexBuilder.Params(nShards = 2, attach = Some("w"), altOrder = true))
+    assert(IndexBuilder.validate(spark, dirty)
+      .exists(_.contains("alt/primary posting count mismatch")))
+  }
+
   test("duplicate docId with differing addon in one partition: keep-first, no crash") {
     // stage-A pack must dedup the primary layout on docId alone (matching
     // mergeCells keep-first); a composite-only dedup would pass the second
