@@ -59,8 +59,15 @@ object ScalingBench {
       var bestQps = 0.0
       for (qt <- 1 to 3) {
         val tq0 = System.nanoTime()
-        val threads = (1 to clients).map { _ =>
-          val th = new Thread(() => Bench.queryLatencies(searcher, perClient / 6))
+        val threads = (1 to clients).map { c =>
+          val th = new Thread(() => {
+            // one FAIR pool per client: with scheduler.mode=FAIR alone the
+            // DEFAULT pool still runs jobs FIFO internally, serializing
+            // concurrent clients — per-thread pools share slots fairly,
+            // which is the capacity a multi-tenant cluster actually has
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$c")
+            Bench.queryLatencies(searcher, perClient / 6)
+          })
           th.start(); th
         }
         threads.foreach(_.join())
