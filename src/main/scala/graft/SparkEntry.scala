@@ -185,20 +185,32 @@ object SparkEntry {
     * `prewarm_build` key; in production these are ingest-time tables.
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
+    // each step isolated: one broken family must not silently lose warm-up
+    // for the rest (its first query would re-absorb the one-time cost the
+    // prewarm_build key exists to attribute)
+    def safely(what: String)(f: => Unit): Unit =
+      try f catch {
+        case t: Throwable =>
+          System.err.println(s"[prewarm] $what failed: ${t.getMessage}")
+      }
     // a trivial absent-term query per variant AND layout materializes the
     // Searcher's lazy file listings + parquet footers (ingest-time work,
     // not the query): count touches postings, topKAddon touches the
     // alt-order copy
-    Seq(IndexCache.searcher(s, dir), IndexCache.searcherW(s, dir),
-        IndexCache.searcherH(s, dir)).foreach(_.count("zzzgraftwarm"))
-    IndexCache.searcher(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count()
-    val m = IndexCache.searcherM(s, dir)
-    m.countMulti(Seq("text" -> "zzzgraftwarm"))
-    m.topKAddonMulti(Seq("text" -> "zzzgraftwarm"), 0L, "both", 1).count()
-    tokens(s, dir).count()
-    shingles(s, dir).count()
-    EmbedCache.signatures(s, dir).count()
-    KMeansCache.centroids(s, dir)
+    safely("searcher")(IndexCache.searcher(s, dir).count("zzzgraftwarm"))
+    safely("searcherW")(IndexCache.searcherW(s, dir).count("zzzgraftwarm"))
+    safely("searcherH")(IndexCache.searcherH(s, dir).count("zzzgraftwarm"))
+    safely("alt layout")(
+      IndexCache.searcher(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count())
+    safely("searcherM") {
+      val m = IndexCache.searcherM(s, dir)
+      m.countMulti(Seq("text" -> "zzzgraftwarm"))
+      m.topKAddonMulti(Seq("text" -> "zzzgraftwarm"), 0L, "both", 1).count()
+    }
+    safely("tokens")(tokens(s, dir).count())
+    safely("shingles")(shingles(s, dir).count())
+    safely("lsh signatures")(EmbedCache.signatures(s, dir).count())
+    safely("kmeans centroids")(KMeansCache.centroids(s, dir))
   }
 
   // ------------------------------------------------------------------

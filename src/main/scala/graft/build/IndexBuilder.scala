@@ -506,7 +506,16 @@ object IndexBuilder {
     meta
   }
 
-  /** Build (or resume) the index for `corpus` into `indexDir`. */
+  /** Build (or resume) the index for `corpus` into `indexDir`.
+    *
+    * Contract: docIds must be unique. Duplicate docIds are tolerated
+    * keep-first PER LAYOUT — the primary layout dedups on docId, the
+    * alt-order layout on the (addon, docId) composite — so a duplicate
+    * carrying a different addon leaves the two layouts divergent (alt
+    * ordered scans would surface both addon values). [[validate]] flags
+    * this as an alt/primary posting-count mismatch; dedup the input when
+    * in doubt.
+    */
   def build(spark: SparkSession, corpus: DataFrame, docIdCol: String, textCol: String,
             indexDir: String, params: Params = Params(), resume: Boolean = false): IndexMeta = {
     val t0 = System.currentTimeMillis()

@@ -272,13 +272,17 @@ object AltKernel extends Serializable {
     true
   }
 
-  /** Bounded best-k on (distance, docId) — smaller is better. */
+  /** Bounded best-k on (distance, docId) — smaller is better. Distances
+    * are exact Longs (saturating subtraction): double arithmetic loses
+    * sub-256 resolution past 2^53, which would misorder e.g. nanosecond-
+    * timestamp addons near the k boundary.
+    */
   private final class Heap(k: Int) {
-    private val pq = mutable.PriorityQueue.empty[(Double, Long, Long)](
+    private val pq = mutable.PriorityQueue.empty[(Long, Long, Long)](
       Ordering.by { case (d, id, _) => (d, id) })
     def full: Boolean = pq.size >= k
-    def worstDist: Double = if (pq.isEmpty) Double.PositiveInfinity else pq.head._1
-    def offer(dist: Double, docId: Long, addon: Long): Unit = {
+    def worstDist: Long = if (pq.isEmpty) Long.MaxValue else pq.head._1
+    def offer(dist: Long, docId: Long, addon: Long): Unit = {
       if (pq.size < k) pq.enqueue((dist, docId, addon))
       else {
         val (wd, wid, _) = pq.head
@@ -287,11 +291,20 @@ object AltKernel extends Serializable {
         }
       }
     }
-    def drain(): Array[(Long, Double, Long)] =
+    def drain(): Array[(Long, Long, Long)] =
       pq.toArray.map { case (d, id, a) => (id, d, a) }
   }
 
-  final case class AltResult(rows: Array[(Long, Double, Long)], visited: Int)
+  /** rows = (docId, distance, addon); distance is an exact Long. */
+  final case class AltResult(rows: Array[(Long, Long, Long)], visited: Int)
+
+  /** |a - b| that saturates at Long.MaxValue instead of overflowing (an
+    * extreme constant c near Long.MinValue would otherwise wrap negative
+    * and corrupt heap order / early termination).
+    */
+  private def satSub(a: Long, b: Long): Long =
+    try Math.subtractExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
 
   /** `WHERE t @@ q ORDER BY addon <op> c LIMIT k` from the alt-order
     * layout: ordered stream(s) from c with early termination once the
@@ -309,7 +322,7 @@ object AltKernel extends Serializable {
     var visited = 0
 
     def run(forward: Boolean, startKey: Long, startSub: Long,
-            dist: Long => Double): Unit = {
+            dist: Long => Long): Unit = {
       val cursors = cells.map(b => new AltCur(b, forward))
       val req = reqIdx.map(cursors)
       val provider = new AltProvider(cursors)
@@ -329,16 +342,15 @@ object AltKernel extends Serializable {
       }
     }
 
-    // distances computed in Double: raw Long subtraction overflows for
-    // extreme constants (c near Long.MinValue) and a negative distance
-    // would corrupt the heap order and the early-termination bound
+    // exact saturating Long distances: overflow-safe AND bit-exact at any
+    // magnitude (double would lose sub-256 resolution past 2^53)
     op match {
-      case "right" => run(forward = true, c, Long.MinValue, a => a.toDouble - c.toDouble)
-      case "left" => run(forward = false, c, Long.MaxValue, a => c.toDouble - a.toDouble)
+      case "right" => run(forward = true, c, Long.MinValue, a => satSub(a, c))
+      case "left" => run(forward = false, c, Long.MaxValue, a => satSub(c, a))
       case "both" =>
-        run(forward = true, c, Long.MinValue, a => a.toDouble - c.toDouble)
+        run(forward = true, c, Long.MinValue, a => satSub(a, c))
         if (c != Long.MinValue)
-          run(forward = false, c - 1, Long.MaxValue, a => c.toDouble - a.toDouble)
+          run(forward = false, c - 1, Long.MaxValue, a => satSub(c, a))
       case other => throw new IllegalArgumentException(s"op: $other")
     }
     AltResult(heap.drain(), visited)

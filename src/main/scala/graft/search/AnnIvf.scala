@@ -77,6 +77,20 @@ object AnnIvf {
     * O(training config), not O(corpus). At 100 TB the same sample is a
     * LIMIT over a hash ordering the scan can push down.
     */
+  /** ONE copy each of the driver-side cosine kernel and the pinned HALF_UP
+    * quantization — the determinism contract (what the SQL oracle replays)
+    * lives here and nowhere else.
+    */
+  private def cosD(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def quant(x: Double, decimals: Int): Double =
+    BigDecimal(x).setScale(decimals, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   def kmeansCentroids(df: DataFrame, embCol: String, idCol: String,
                       k: Int = 8, iters: Int = 2, sampleN: Int = 64): Array[Array[Double]] = {
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
@@ -87,25 +101,14 @@ object AnnIvf {
     require(rows.length >= k, s"sample ${rows.length} < k=$k")
     val dim = rows(0).length
 
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    def q12(x: Double): Double =
-      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def q9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-
     var cents = rows.take(k).map(_.clone())
     for (_ <- 0 until iters) {
       val assign = rows.map { v =>
         var best = 0
-        var bestS = q12(cos(v, cents(0)))
+        var bestS = quant(cosD(v, cents(0)), 12)
         var c = 1
         while (c < k) {
-          val s = q12(cos(v, cents(c)))
+          val s = quant(cosD(v, cents(c)), 12)
           if (s > bestS) { best = c; bestS = s } // tie keeps smaller id
           c += 1
         }
@@ -121,7 +124,7 @@ object AnnIvf {
             while (d < dim) { m(d) += rows(i)(d); d += 1 }
           }
           var d = 0
-          while (d < dim) { m(d) = q9(m(d) / members.length); d += 1 }
+          while (d < dim) { m(d) = quant(m(d) / members.length, 9); d += 1 }
           m
         }
       }
@@ -130,41 +133,15 @@ object AnnIvf {
   }
 
   /** double-vector probe (trained centroids), same quantized tie rules. */
-  def probeClustersD(q: Array[Double], centroids: Array[Array[Double]], nprobe: Int): Seq[Int] = {
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+  def probeClustersD(q: Array[Double], centroids: Array[Array[Double]], nprobe: Int): Seq[Int] =
     centroids.zipWithIndex
-      .map { case (c, i) =>
-        (BigDecimal(cos(q, c)).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble, i)
-      }
+      .map { case (c, i) => (quant(cosD(q, c), 12), i) }
       .sortBy { case (s, i) => (-s, i) }
       .take(nprobe).map(_._2).toSeq
-  }
 
   /** ids of the `nprobe` clusters nearest to the query vector,
     * by centroid cosine desc with smaller-id tie-break.
     */
-  def probeClusters(q: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] = {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    centroids.zipWithIndex
-      .map { case (c, i) =>
-        (BigDecimal(cos(q, c)).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble, i)
-      }
-      .sortBy { case (s, i) => (-s, i) }
-      .take(nprobe).map(_._2).toSeq
-  }
+  def probeClusters(q: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] =
+    probeClustersD(q.map(_.toDouble), centroids.map(_.map(_.toDouble)), nprobe)
 }

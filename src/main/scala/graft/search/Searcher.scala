@@ -237,6 +237,9 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       // src/rumget.c:2303-2327): per-shard cost tracks k, not match count;
       // only finite-distance matches are emitted
       val keys = SearchKernel.keySpecs(cq)
+      // kernel distances are exact saturating Longs; ordering/limit run on
+      // the long column (bit-exact at any magnitude), then the public
+      // schema's double distance is produced for the k survivors only
       altPostings.where(termPredicate(cq))
         .groupByKey(_.shard)
         .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
@@ -245,24 +248,25 @@ final class Searcher(spark: SparkSession, indexDir: String) {
         .select(col("docId"), col("addon"), col("distance"))
         .orderBy(col("distance").asc, col("docId").asc)
         .limit(k)
+        .withColumn("distance", col("distance").cast("double"))
     } else {
       val base = matchingWithAddonC(cq)
-      // subtract in double (matching the alt kernel): long subtraction
-      // overflows for extreme constants
-      val a = col("addon").cast("double")
-      val cc = lit(c).cast("double")
+      // exact decimal distance (long subtraction overflows for extreme
+      // constants; double loses sub-256 resolution past 2^53); one-sided
+      // misses are null and filtered, matching the alt path's finite-only
+      val a = col("addon").cast("decimal(20,0)")
+      val cc = lit(c).cast("decimal(20,0)")
       val dist = op match {
         case "both" => abs(a - cc)
-        case "left" => when(col("addon") <= c, cc - a)
-          .otherwise(lit(Double.PositiveInfinity))
-        case "right" => when(col("addon") >= c, a - cc)
-          .otherwise(lit(Double.PositiveInfinity))
+        case "left" => when(col("addon") <= c, cc - a).otherwise(lit(null))
+        case "right" => when(col("addon") >= c, a - cc).otherwise(lit(null))
         case other => throw new IllegalArgumentException(s"op: $other")
       }
       base.withColumn("distance", dist)
-        .where(col("distance") =!= Double.PositiveInfinity) // match alt path: finite only
+        .where(col("distance").isNotNull)
         .orderBy(col("distance").asc, col("docId").asc)
         .limit(k)
+        .withColumn("distance", col("distance").cast("double"))
     }
   }
 

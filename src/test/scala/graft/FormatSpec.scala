@@ -38,11 +38,12 @@ class FormatSpec extends AnyFunSuite {
     val jobWall = System.currentTimeMillis() - t0
     val shards = SegmentCatalog.load(dir).get.shards
     assert(shards.nonEmpty)
-    // every committed shard carries a real positive measurement, and the
-    // per-shard pack time is a fraction of the whole job wall (tokenize +
-    // shuffle + write dominate) — the old code stamped jobWall on each
-    shards.foreach(s => assert(s.buildMs >= 1, s"shard ${s.shard}"))
-    assert(shards.map(_.buildMs).sum < jobWall, s"sum=${shards.map(_.buildMs).sum} wall=$jobWall")
+    // every committed shard carries a real positive measurement strictly
+    // under the whole job wall (the old code stamped jobWall on each);
+    // shards pack in parallel, so per-shard < wall is the sound check —
+    // NOT sum < wall, which parallel tasks can legitimately exceed
+    shards.foreach(s => assert(s.buildMs >= 1 && s.buildMs < jobWall,
+      s"shard ${s.shard}: ${s.buildMs}ms vs wall ${jobWall}ms"))
   }
 
   test("down-versioned manifest: searcher, append, compact refuse cleanly") {
@@ -85,6 +86,32 @@ class FormatSpec extends AnyFunSuite {
     val loaded = SegmentCatalog.load(dir).get
     assert(loaded.dataFiles.get("alt").contains(Nil)) // Some(Nil), NOT None
     assert(loaded.dataFiles("postings") == meta.dataFiles("postings"))
+  }
+
+  test("addon distances stay exact past 2^53 (alt path and fallback)") {
+    // at 2^55 double spacing is 4: double arithmetic would collapse
+    // distances 0,1,2,3 into ties and return the wrong top-k; the exact
+    // Long/decimal distances must not (nanosecond-timestamp addon regime)
+    val base = 1L << 55
+    val docs = (0 until 21).map(i => (i.toLong, "alpha common", base + i))
+    val c = base + 20
+    def check(dir: String): Unit = {
+      val s = new Searcher(spark, dir)
+      val got = s.topKAddon("common", c, "left", 3)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(20L, 19L, 18L), s"got $got")
+      val both = s.topKAddon("common", base, "both", 3)
+        .collect().map(_.getLong(0)).toSeq
+      assert(both == Seq(0L, 1L, 2L), s"got $both")
+    }
+    val dAlt = java.nio.file.Files.createTempDirectory("fmtexa").toString
+    IndexBuilder.build(spark, docs.toDF("id", "t", "w"), "id", "t", dAlt,
+      IndexBuilder.Params(nShards = 2, attach = Some("w"), altOrder = true))
+    check(dAlt)
+    val dPlain = java.nio.file.Files.createTempDirectory("fmtexp").toString
+    IndexBuilder.build(spark, docs.toDF("id", "t", "w"), "id", "t", dPlain,
+      IndexBuilder.Params(nShards = 2, attach = Some("w")))
+    check(dPlain)
   }
 
   test("validate covers the alt layout: clean build passes, dirty dup-docId input is flagged") {
