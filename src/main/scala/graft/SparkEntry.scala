@@ -495,6 +495,16 @@ object SparkEntry {
           (col("ca") + col("cb") - col("i")).as("u_sh"))
         .orderBy("doc_a", "doc_b")
     }),
+    "dedup_cluster" -> ((s, dir) => {
+      // near-dup CLUSTER assignment: connected components over the minhash
+      // pair graph; every doc gets the component-min docId as its canonical
+      // rep (rep == doc_id ⇒ keeper) — the step that turns pairwise dedup
+      // output into per-document keep/drop decisions
+      import graft.text.Components
+      val pairs = queries("dedup_minhash_pairs")(s, dir)
+      Components.components(pairs, "doc_a", "doc_b", documents(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
     "fingerprint_bottomk" -> ((s, dir) => {
       val ss = shingles(s, dir).select("doc_id", "sh").distinct()
         .withColumn("h", hash60(col("sh")))
@@ -1046,6 +1056,27 @@ object SparkEntry {
         |SELECT doc_a, doc_b, i AS i_sh, ca.c+cb.c-i AS u_sh
         |FROM inter JOIN sizes ca ON ca.doc_id=doc_a JOIN sizes cb ON cb.doc_id=doc_b
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // exact transitive closure of the minhash pair graph via recursive CTE;
+    // rep = min reachable docId, isolated docs rep = self
+    "dedup_cluster" -> (ShingCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |seeds AS (SELECT CAST(unnest(range(0,4)) AS INTEGER) AS seed),
+        |sig AS (SELECT doc_id, seed,
+        |  min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),1,15) AS BIGINT)) AS minhash
+        |  FROM shing, seeds GROUP BY doc_id, seed),
+        |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.seed=b.seed AND a.minhash=b.minhash AND a.doc_id<b.doc_id),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        |          UNION SELECT doc_b, doc_a FROM prs),
+        |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+        |reach(doc, r) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |comp AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc)
+        |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+        |FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     "fingerprint_bottomk" -> (ShingCte +
       """,
         |ss AS (SELECT DISTINCT doc_id, sh FROM shing),
