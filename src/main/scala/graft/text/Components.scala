@@ -30,35 +30,56 @@ object Components {
                  allDocs: DataFrame, docCol: String,
                  maxIters: Int = 50): DataFrame = {
     val e = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    // localCheckpoint truncates lineage each iteration — without it the
-    // logical plan deepens per round and analysis blows up on long chains
-    // (a reliable checkpoint dir would serve the same role on a cluster)
-    var labels = allDocs.select(col(docCol).cast("long").as("doc")).distinct()
+    // no dedup of the symmetrized edges: the min-aggregation is duplicate-
+    // insensitive, and skipping distinct saves its shuffle
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    // iterate ONLY over vertices that have an edge — the pair graph is a
+    // tiny fraction of the corpus (that's the point of dedup); isolated
+    // docs get rep = self in one final left join instead of riding every
+    // iteration. localCheckpoint truncates lineage each round — without it
+    // the logical plan deepens per iteration and analysis blows up.
+    var labels = sym.select(col("src").as("doc")).distinct()
       .withColumn("rep", col("doc"))
       .localCheckpoint(true)
 
-    var changed = 1L
+    // convergence by the monotone rep-sum: reps only ever decrease, so the
+    // fixpoint is reached exactly when the sum stops changing — one cheap
+    // aggregate per iteration instead of a change-count join. Decimal sum:
+    // arbitrary long ids could overflow a bigint sum.
+    def repSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = repSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      // neighbor minimum per vertex, then take min(self, neighbors)
+    while (!converged && iter < maxIters) {
+      // neighbor minimum per vertex, then take min(self, neighbors),
+      // then pointer-jump through the current rep (path halving: the
+      // rep's own rep is in the same component, so the label chain
+      // shortens geometrically — O(log diameter) iterations)
       val nbrMin = sym
         .join(labels.select(col("doc").as("dst"), col("rep").as("nrep")), Seq("dst"))
         .groupBy(col("src").as("doc"))
         .agg(min("nrep").as("nmin"))
+      val repOf = labels.select(col("doc").as("rj"), col("rep").as("rrep"))
       val next = labels
         .join(nbrMin, Seq("doc"), "left")
+        .withColumn("rep1", least(col("rep"), coalesce(col("nmin"), col("rep"))))
+        .join(repOf, col("rep1") === col("rj"), "left")
         .select(col("doc"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+          least(col("rep1"), coalesce(col("rrep"), col("rep1"))).as("rep"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.select(col("doc"), col("rep").as("old")), Seq("doc"))
-        .where(col("rep") =!= col("old")).count()
+      val s = repSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
     sym.unpersist()
-    labels.select(col("doc").as("doc_id"), col("rep"))
+    // re-attach isolated vertices (no pair ⇒ they are their own keeper)
+    allDocs.select(col(docCol).cast("long").as("doc")).distinct()
+      .join(labels, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), coalesce(col("rep"), col("doc")).as("rep"))
   }
 }
