@@ -53,6 +53,35 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   private lazy val statsDF: DataFrame =
     graft.build.IndexBuilder.readDataset(spark, indexDir, meta, "stats")
 
+  /** Compiled-plan cache (prepared statements). A Searcher is pinned to one
+    * immutable snapshot — reads go through the manifest's committed file
+    * listing — so the Dataset a public query method returns is a pure
+    * function of (method, args). Repeating a query therefore reuses the
+    * analyzed/optimized/physical plan (Dataset.queryExecution is computed
+    * once per instance) and any driver-side stats lookup folded into plan
+    * construction (e.g. topKBm25's df/maxTf fetch), instead of paying
+    * Catalyst + a stats job again. This is the fixed per-query driver cost
+    * that does NOT parallelize with added cores (BENCH/BASELINE.md 2→8
+    * analysis); execution itself still runs fresh per action. Bounded: past
+    * [[Searcher.MaxCachedPlans]] distinct shapes, plans are built uncached.
+    */
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cached(key: String)(make: => DataFrame): DataFrame = {
+    // get/putIfAbsent, NOT computeIfAbsent: plan builders nest (count's agg
+    // plan is built over the cached matchingDocs plan) and a nested
+    // computeIfAbsent on one ConcurrentHashMap throws "Recursive update".
+    // A racing duplicate build is harmless — first one in wins.
+    val hit = planCache.get(key)
+    if (hit != null) hit
+    else if (planCache.size >= Searcher.MaxCachedPlans) make
+    else {
+      val df = make
+      val prev = planCache.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
+
   /** term predicate for the parquet scan — exact terms via IN (dictionary/
     * stats pruning), prefixes via range [p, p+MAXCHAR).
     */
@@ -114,15 +143,19 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   }
 
   def countMulti(fieldQueries: Seq[(String, String)]): Long =
-    matchingDocsC(compileMulti(fieldQueries)).count()
+    runCount("countM" + Searcher.key(fieldQueries.flatMap(p => Seq(p._1, p._2)): _*),
+      matchingDocsMulti(fieldQueries))
 
   def matchingDocsMulti(fieldQueries: Seq[(String, String)]): DataFrame =
-    matchingDocsC(compileMulti(fieldQueries))
+    cached("matchM" + Searcher.key(fieldQueries.flatMap(p => Seq(p._1, p._2)): _*)) {
+      matchingDocsC(compileMulti(fieldQueries))
+    }
 
   /** docIds matching the query (the bitmap-scan sink, rumgetbitmap —
     * src/rumget.c:2105-2145). Unordered.
     */
-  def matchingDocs(queryStr: String): DataFrame = matchingDocsC(compile(queryStr))
+  def matchingDocs(queryStr: String): DataFrame =
+    cached("match" + Searcher.key(queryStr))(matchingDocsC(compile(queryStr)))
 
   private def matchingDocsC(cq: CompiledQuery): DataFrame = {
     if (SearchKernel.isVoid(cq)) // empty tsquery: no scan at all (isVoidRes)
@@ -139,7 +172,15 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     }
   }
 
-  def count(queryStr: String): Long = matchingDocs(queryStr).count()
+  def count(queryStr: String): Long =
+    runCount("count" + Searcher.key(queryStr), matchingDocs(queryStr))
+
+  /** Cached count: Dataset.count() would plan a fresh Aggregate per call,
+    * so the aggregate itself is part of the cached plan.
+    */
+  private def runCount(key: String, base: => DataFrame): Long =
+    cached(key)(base.agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt")))
+      .collect()(0).getLong(0)
 
   /** Approximate bounded result set — the fuzzy_search_limit path
     * (reference: rumget.c:50-76 dropItem thins the bitmap with coin flips
@@ -149,7 +190,12 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * md5-prefix hash the SQL oracle can compute, so sampling is
     * reproducible across engines AND executors (no RNG state).
     */
-  def matchingDocsSampled(queryStr: String, limit: Long): DataFrame = {
+  def matchingDocsSampled(queryStr: String, limit: Long): DataFrame =
+    cached("sampled" + Searcher.key(queryStr, limit.toString)) {
+      matchingDocsSampledU(queryStr, limit)
+    }
+
+  private def matchingDocsSampledU(queryStr: String, limit: Long): DataFrame = {
     val cq = compile(queryStr)
     val full = matchingDocsC(cq)
     val predicted = predictResults(cq)
@@ -186,7 +232,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * for distance ordering / range predicates on the attached column.
     */
   def matchingWithAddon(queryStr: String): DataFrame =
-    matchingWithAddonC(compile(queryStr))
+    cached("addon" + Searcher.key(queryStr))(matchingWithAddonC(compile(queryStr)))
 
   private def matchingWithAddonC(cq: CompiledQuery): DataFrame = {
     if (SearchKernel.isVoid(cq))
@@ -219,7 +265,9 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       SearchKernel.requiredKeys(cq).nonEmpty
 
   def topKAddon(queryStr: String, c: Long, op: String, k: Int): DataFrame =
-    topKAddonC(compile(queryStr), c, op, k)
+    cached("topKA" + Searcher.key(queryStr, c.toString, op, k.toString)) {
+      topKAddonC(compile(queryStr), c, op, k)
+    }
 
   /** Multicolumn ordered scan: `WHERE f1 @@ q1 AND f2 @@ q2 ORDER BY
     * addon <op> c LIMIT k` — the reference's multicolumn test shape
@@ -229,7 +277,10 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     */
   def topKAddonMulti(fieldQueries: Seq[(String, String)], c: Long, op: String,
                      k: Int): DataFrame =
-    topKAddonC(compileMulti(fieldQueries), c, op, k)
+    cached("topKAM" + Searcher.key(
+      fieldQueries.flatMap(p => Seq(p._1, p._2)) ++ Seq(c.toString, op, k.toString): _*)) {
+      topKAddonC(compileMulti(fieldQueries), c, op, k)
+    }
 
   private def topKAddonC(cq: CompiledQuery, c: Long, op: String, k: Int): DataFrame = {
     if (altServes(cq) && Set("both", "left", "right").contains(op)) {
@@ -275,11 +326,16 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * count), else filter over all matches.
     */
   def rangeAddon(queryStr: String, lo: Long, hi: Long): DataFrame =
-    rangeAddonC(compile(queryStr), lo, hi)
+    cached("rangeA" + Searcher.key(queryStr, lo.toString, hi.toString)) {
+      rangeAddonC(compile(queryStr), lo, hi)
+    }
 
   /** Multicolumn variant of [[rangeAddon]]. */
   def rangeAddonMulti(fieldQueries: Seq[(String, String)], lo: Long, hi: Long): DataFrame =
-    rangeAddonC(compileMulti(fieldQueries), lo, hi)
+    cached("rangeAM" + Searcher.key(
+      fieldQueries.flatMap(p => Seq(p._1, p._2)) ++ Seq(lo.toString, hi.toString): _*)) {
+      rangeAddonC(compileMulti(fieldQueries), lo, hi)
+    }
 
   private def rangeAddonC(cq: CompiledQuery, lo: Long, hi: Long): DataFrame = {
     if (altServes(cq)) {
@@ -306,7 +362,10 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     */
   def topKCover(queryStr: String, k: Int, matchOnly: Boolean = true,
                 method: Int = 0): DataFrame =
-    topKCoverC(compile(queryStr), k, matchOnly, method, null, null)
+    cached("topKC" + Searcher.key(queryStr, k.toString, matchOnly.toString,
+      method.toString)) {
+      topKCoverC(compile(queryStr), k, matchOnly, method, null, null)
+    }
 
   /** Multicolumn ranked scan: match `rankQuery` on `rankField` AND every
     * `filters` predicate on its field — one kernel pass over field-prefixed
@@ -318,7 +377,16 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     */
   def topKCoverMulti(rankField: String, rankQuery: String,
                      filters: Seq[(String, String)], k: Int,
-                     matchOnly: Boolean = true, method: Int = 0): DataFrame = {
+                     matchOnly: Boolean = true, method: Int = 0): DataFrame =
+    cached("topKCM" + Searcher.key(
+      Seq(rankField, rankQuery) ++ filters.flatMap(p => Seq(p._1, p._2)) ++
+        Seq(k.toString, matchOnly.toString, method.toString): _*)) {
+      topKCoverMultiU(rankField, rankQuery, filters, k, matchOnly, method)
+    }
+
+  private def topKCoverMultiU(rankField: String, rankQuery: String,
+                     filters: Seq[(String, String)], k: Int,
+                     matchOnly: Boolean, method: Int): DataFrame = {
     require(meta.fields.nonEmpty, "not a multi-column index")
     val known = meta.fields.split(",").toSet
     (rankField +: filters.map(_._1)).foreach(f =>
@@ -379,7 +447,10 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     topKBm25(terms.map(t => graft.build.IndexBuilder.fieldKey(field, t)), k)
   }
 
-  def topKBm25(terms: Seq[String], k: Int): DataFrame = {
+  def topKBm25(terms: Seq[String], k: Int): DataFrame =
+    cached("bm25" + Searcher.key(terms :+ k.toString: _*))(topKBm25U(terms, k))
+
+  private def topKBm25U(terms: Seq[String], k: Int): DataFrame = {
     val distinct = terms.distinct.map(keyOf)
     val statRows = statsDF
       .where(col("term").isin(distinct: _*))
@@ -408,7 +479,10 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * plus payload-derived tf; used for verification and as a building
     * block for joins back to the corpus.
     */
-  def termPostings(term: String): DataFrame = {
+  def termPostings(term: String): DataFrame =
+    cached("post" + Searcher.key(term))(termPostingsU(term))
+
+  private def termPostingsU(term: String): DataFrame = {
     postings.where(col("term") === keyOf(term))
       .flatMap { row =>
         val cur = new PostingCursor(Iterator(row.blocks))
@@ -422,8 +496,10 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * mode the output `term` column carries the hashed key.
     */
   def termStats(terms: Seq[String]): DataFrame =
-    statsDF.where(col("term").isin(terms.map(keyOf): _*))
-      .select(col("term"), col("df"))
+    cached("stats" + Searcher.key(terms: _*)) {
+      statsDF.where(col("term").isin(terms.map(keyOf): _*))
+        .select(col("term"), col("df"))
+    }
 
   /** Doc length table (token counts). */
   def docLens: DataFrame =
@@ -445,4 +521,17 @@ final class Searcher(spark: SparkSession, indexDir: String) {
           scoreCq, scoreMap))
       .toDF("docId", "distance", "addon")
   }
+}
+
+object Searcher {
+  /** Plan-cache capacity: past this many distinct query shapes, plans are
+    * built uncached (no eviction churn; a workload with >4096 distinct
+    * prepared shapes is ad-hoc, not repeated).
+    */
+  val MaxCachedPlans = 4096
+
+  /** Collision-free cache key: args joined on \u0001 (cannot appear in
+    * tsquery strings, terms, or rendered numbers).
+    */
+  private def key(parts: String*): String = parts.mkString("\u0001", "\u0001", "")
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.IndexBuilder
+import graft.search.Searcher
+
+/** Compiled-plan cache: a Searcher is pinned to one immutable snapshot, so
+  * repeated queries must return the SAME Dataset instance (plan reuse — no
+  * re-analysis, no repeated stats job) while distinct shapes stay distinct,
+  * results stay correct across repeats, and concurrent clients race safely.
+  */
+class PlanCacheSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val idxDir = {
+    val docs = (0 until 500).map { i =>
+      val extra = if (i % 5 == 0) " merge partition" else " sort"
+      (i.toLong, s"alpha tok${i % 7}$extra", i.toLong * 3)
+    }.toDF("doc_id", "text", "d")
+    val dir = java.nio.file.Files.createTempDirectory("plancache").toString
+    IndexBuilder.build(spark, docs, "doc_id", "text", dir,
+      IndexBuilder.Params(nShards = 4, attach = Some("d"), altOrder = true))
+    dir
+  }
+
+  test("repeated queries reuse the identical Dataset instance") {
+    val s = new Searcher(spark, idxDir)
+    assert(s.matchingDocs("merge & partition") eq s.matchingDocs("merge & partition"))
+    assert(s.topKBm25(Seq("merge", "sort"), 5) eq s.topKBm25(Seq("merge", "sort"), 5))
+    assert(s.topKCover("alpha & merge", 3) eq s.topKCover("alpha & merge", 3))
+    assert(s.topKAddon("merge", 600L, "both", 4) eq s.topKAddon("merge", 600L, "both", 4))
+    // distinct shapes must NOT collide
+    assert(!(s.topKCover("alpha & merge", 3) eq s.topKCover("alpha & merge", 4)))
+    assert(!(s.matchingDocs("merge") eq s.matchingDocs("partition")))
+  }
+
+  test("cache-key args cannot collide across concatenation boundaries") {
+    val s = new Searcher(spark, idxDir)
+    // ("ab","c") vs ("a","bc") — same chars, different splits
+    assert(!(s.topKBm25(Seq("ab", "c"), 5) eq s.topKBm25(Seq("a", "bc"), 5)))
+  }
+
+  test("repeat executions of a cached plan return correct, stable results") {
+    val s = new Searcher(spark, idxDir)
+    val expect = (0 until 500).count(_ % 5 == 0).toLong
+    assert(s.count("merge & partition") === expect)
+    assert(s.count("merge & partition") === expect) // second hit: cached agg plan
+    val top1 = s.topKBm25(Seq("merge"), 7).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val top2 = s.topKBm25(Seq("merge"), 7).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top1.sameElements(top2))
+  }
+
+  test("concurrent clients race on the cache safely and correctly") {
+    val s = new Searcher(spark, idxDir)
+    val expect = (0 until 500).count(_ % 5 == 0).toLong
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { c =>
+      val th = new Thread(() => {
+        try {
+          for (_ <- 1 to 3) {
+            assert(s.count("merge & partition") === expect)
+            assert(s.topKBm25(Seq("merge", "sort"), 5).collect().length === 5)
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent failures: ${errs}")
+  }
+}
