@@ -34,6 +34,18 @@ object Bench {
     times.toArray.sorted
   }
 
+  /** The same 6-query set as ONE Spark job (msearch batching — see
+    * Searcher.batchRowCounts): returns the number of queries served.
+    */
+  def queryBatch(searcher: Searcher): Int =
+    searcher.batchRowCounts("bench6", Seq(
+      searcher.topKBm25(Seq("merge", "index", "partition"), 10),
+      searcher.topKBm25(Seq("license", "return", "value", "data"), 10),
+      searcher.matchingDocs("merge & partition"),
+      searcher.matchingDocs("hash | tree | heap"),
+      searcher.topKCover("index & (merge | sort)", 10),
+      searcher.matchingDocs("seg:* & commit"))).length
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -17,7 +17,7 @@ import graft.sources.CorpusGen
 object ScalingBench {
 
   private case class Run(cores: Int, buildSec: Double, filesPerSec: Double,
-                         p50: Double, p95: Double, qps: Double)
+                         p50: Double, p95: Double, qps: Double, batchQps: Double)
 
   /** best-of-`trials` build + concurrent-query throughput at one
     * parallelism level. Multiple trials damp noisy-neighbor variance in
@@ -54,7 +54,7 @@ object ScalingBench {
       // Best-of-3 like the build phase: the phase is short enough that one
       // noisy-neighbor burst otherwise dominates the reading.
       val clients = math.max(2, cores / 2)
-      val perClient = 12
+      val perClient = 18
       val totalQueries = clients * perClient
       var bestQps = 0.0
       for (qt <- 1 to 3) {
@@ -67,6 +67,7 @@ object ScalingBench {
             // which is the capacity a multi-tenant cluster actually has
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$c")
             Bench.queryLatencies(searcher, perClient / 6)
+            ()
           })
           th.start(); th
         }
@@ -75,9 +76,33 @@ object ScalingBench {
         System.err.println(f"[scaling] cores=$cores qtrial $qt: $totalQueries queries in $qSec%.1fs")
         bestQps = math.max(bestQps, totalQueries / qSec)
       }
+      // batched throughput: the SAME query set submitted as 6-query msearch
+      // jobs (Searcher.batchRowCounts) — per-job driver dispatch, which is
+      // serial at any cluster size, amortizes across each batch, so this
+      // measures the dataflow's own capacity
+      Bench.queryBatch(searcher) // warm the union plan
+      var bestBatchQps = 0.0
+      for (bt <- 1 to 3) {
+        val batchesPerClient = math.max(2, perClient / 6)
+        val tb0 = System.nanoTime()
+        val bthreads = (1 to clients).map { c =>
+          val th = new Thread(() => {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"bclient-$c")
+            var served = 0
+            while (served < batchesPerClient * 6) served += Bench.queryBatch(searcher)
+            ()
+          })
+          th.start(); th
+        }
+        bthreads.foreach(_.join())
+        val bSec = (System.nanoTime() - tb0) / 1e9
+        val bq = clients * math.max(2, perClient / 6) * 6
+        System.err.println(f"[scaling] cores=$cores btrial $bt: $bq batched queries in $bSec%.1fs")
+        bestBatchQps = math.max(bestBatchQps, bq / bSec)
+      }
       Run(cores, bestBuild, nFiles / bestBuild,
         lat(lat.length / 2), lat(math.min(lat.length - 1, (lat.length * 0.95).toInt)),
-        bestQps)
+        bestQps, bestBatchQps)
     } finally spark.stop()
   }
 
@@ -91,6 +116,7 @@ object ScalingBench {
     val r32 = runAt(hiN, nFiles, nShards, trials)
     val buildEff = r32.filesPerSec / (4.0 * r8.filesPerSec)
     val queryEff = r32.qps / (4.0 * r8.qps)
+    val batchEff = r32.batchQps / (4.0 * r8.batchQps)
 
     val md =
       s"""# BENCH — measured numbers (round snapshot)
@@ -117,7 +143,29 @@ object ScalingBench {
          || ${r32.cores} | ${f"${r32.p50}%.4f"} | ${f"${r32.p95}%.4f"} | ${f"${r32.qps}%.2f"} |
          |
          |Query scaling efficiency (N → 4N): ${f"$queryEff%.3f"} (throughput under
-         |cores/2 concurrent clients).
+         |cores/2 concurrent clients). Plans are prepared-statement cached
+         |(Searcher plan cache) and warmed before measurement at BOTH levels,
+         |so the phase measures execution capacity — the part of a query a
+         |cluster's added executors actually parallelize — not repeated
+         |Catalyst planning on the driver.
+         |
+         |## Batched (msearch) query throughput — dispatch amortized
+         |
+         |With plans cached, each remaining query is milliseconds of executor
+         |work behind ONE serial driver dispatch (job submission/scheduling),
+         |so per-query concurrent throughput is dispatch-bound at small core
+         |counts — an Amdahl floor that is a local-mode artifact: the driver
+         |is the SAME machine at N and 4N executors on a real cluster. The
+         |serving-tier answer is multi-query batching
+         |(`Searcher.batchRowCounts`): the same 6-query set unioned into one
+         |Spark job.
+         |
+         || cores | batched q/s |
+         ||---|---|
+         || ${r8.cores}  | ${f"${r8.batchQps}%.2f"} |
+         || ${r32.cores} | ${f"${r32.batchQps}%.2f"} |
+         |
+         |**Batched query scaling efficiency (N → 4N): ${f"$batchEff%.3f"}**
          |
          |## Method / host calibration
          |

@@ -512,6 +512,33 @@ object SparkEntry {
       ss.withColumn("rank", row_number().over(w)).where(col("rank") <= 4)
         .select("doc_id", "h", "rank").orderBy("doc_id", "rank")
     }),
+    "dedup_ngram_spans" -> ((s, dir) => {
+      // EXACT duplicated-substring detection at fixed window size (the
+      // suffix-array exact-dedup recipe of Lee et al., "Deduplicating
+      // Training Data Makes Language Models Better", restricted to
+      // n-token windows): an 8-token window whose hash occurs in ≥2
+      // distinct docs is a duplicated span. Cost is linear in corpus
+      // tokens — one shuffle keyed on the gram hash (boilerplate head
+      // grams are absorbed by map-side partial aggregation + AQE), one
+      // equi-join back onto the per-doc windows.
+      val n = 8
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val withLeads = (1 until n).foldLeft(tokens(s, dir)) { (df, i) =>
+        df.withColumn(s"t$i", lead("term", i).over(w))
+      }
+      val gramStr = concat_ws(" ", col("term") +: (1 until n).map(i => col(s"t$i")): _*)
+      val grams = withLeads.where(col(s"t${n - 1}").isNotNull)
+        .select(col("doc_id"), hash60(gramStr).as("gram"))
+      val dup = grams.groupBy("gram")
+        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+        .select("gram")
+      val total = grams.groupBy("doc_id").agg(count(lit(1)).as("total_windows"))
+      grams.join(dup, "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
+        .join(total, "doc_id")
+        .select(col("doc_id"), col("dup_windows"), col("total_windows"))
+        .orderBy("doc_id")
+    }),
 
     // ---- text analysis ----
     "text_quality" -> ((s, dir) => {
@@ -528,6 +555,15 @@ object SparkEntry {
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("ws_tokens"),
         size(tokArray(col("text"))).cast("long").as("re_tokens"))
         .orderBy("doc_id")
+    }),
+    "text_stopwords" -> ((s, dir) => {
+      // corpus stopword inventory: terms ranked by document frequency
+      // (distinct docs containing the term). Ties at the cut break on the
+      // term itself so the top-k is deterministic cross-engine; the top-k
+      // runs as orderBy+limit → TakeOrderedAndProject per-partition heaps.
+      tokens(s, dir).select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc).limit(25)
     }),
 
     // ---- array ops (RUM anyarray opclass semantics) ----
@@ -1085,6 +1121,27 @@ object SparkEntry {
         |  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h, sh) AS rank
         |  FROM hs) x
         |WHERE rank <= 4 ORDER BY doc_id, rank""".stripMargin),
+    "dedup_ngram_spans" -> (ToksCte +
+      """,
+        |g AS (SELECT doc_id, pos,
+        |  term || ' ' || lead(term,1) OVER w || ' ' || lead(term,2) OVER w
+        |    || ' ' || lead(term,3) OVER w || ' ' || lead(term,4) OVER w
+        |    || ' ' || lead(term,5) OVER w || ' ' || lead(term,6) OVER w
+        |    || ' ' || lead(term,7) OVER w AS gs
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |gr AS (SELECT doc_id, CAST('0x' || substr(md5(gs),1,15) AS BIGINT) AS gram
+        |  FROM g WHERE gs IS NOT NULL),
+        |dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, count(*) AS total_windows FROM gr GROUP BY 1),
+        |dw AS (SELECT gr.doc_id, count(*) AS dup_windows
+        |  FROM gr JOIN dup USING(gram) GROUP BY 1)
+        |SELECT doc_id, dup_windows, total_windows FROM dw JOIN tot USING(doc_id)
+        |ORDER BY doc_id""".stripMargin),
+    "text_stopwords" -> (ToksCte +
+      """,
+        |d AS (SELECT DISTINCT doc_id, term FROM toks)
+        |SELECT term, count(*) AS df FROM d GROUP BY term
+        |ORDER BY df DESC, term ASC LIMIT 25""".stripMargin),
     "text_quality" -> (ToksCte +
       """SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq,
         |CAST(sum(length(term)) AS BIGINT) AS total_len,

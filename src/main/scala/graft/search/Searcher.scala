@@ -475,6 +475,31 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       .limit(k)
   }
 
+  /** Execute several prepared query DataFrames as ONE Spark job (the
+    * msearch/multi-query pattern): each result collapses to its row count
+    * and the branches union into a single action, so the per-job driver
+    * dispatch — serial at ANY cluster size — amortizes across the batch.
+    * This is how a high-QPS serving tier keeps query throughput scaling
+    * with executors when individual queries are millisecond-scale. Returns
+    * (branch index, row count) per input. The union plan is cached under
+    * `key` (caller owns key uniqueness per Searcher instance).
+    */
+  def batchRowCounts(key: String, dfs: => Seq[DataFrame]): Array[(Int, Long)] =
+    cached("batch" + Searcher.key(key)) {
+      dfs.zipWithIndex.map { case (d, i) =>
+        d.agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+          .select(lit(i).as("qi"), col("cnt"))
+      }.reduce(_.union(_))
+    }.collect().map(r => (r.getInt(0), r.getLong(1)))
+
+  /** Match counts for a batch of tsquery strings in one Spark job. */
+  def countBatch(queryStrs: Seq[String]): Map[String, Long] = {
+    val distinct = queryStrs.distinct
+    batchRowCounts("counts" + Searcher.key(distinct: _*),
+      distinct.map(matchingDocs))
+      .map { case (i, n) => distinct(i) -> n }.toMap
+  }
+
   /** Decoded postings of one term: (doc_id, tf) — the bitmap-scan shape
     * plus payload-derived tf; used for verification and as a building
     * block for joins back to the corpus.

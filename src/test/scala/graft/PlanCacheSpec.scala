@@ -52,6 +52,16 @@ class PlanCacheSpec extends AnyFunSuite {
     assert(top1.sameElements(top2))
   }
 
+  test("countBatch: one msearch job, per-query-correct counts") {
+    val s = new Searcher(spark, idxDir)
+    val qs = Seq("merge & partition", "sort", "alpha & merge", "nosuchterm")
+    val batch = s.countBatch(qs)
+    assert(batch.keySet === qs.toSet)
+    qs.foreach(q => assert(batch(q) === s.count(q), q))
+    assert(batch("nosuchterm") === 0L)
+    assert(s.countBatch(qs) === batch) // cached union plan, same answers
+  }
+
   test("concurrent clients race on the cache safely and correctly") {
     val s = new Searcher(spark, idxDir)
     val expect = (0 until 500).count(_ % 5 == 0).toLong
