@@ -34,17 +34,33 @@ object Bench {
     times.toArray.sorted
   }
 
+  private def benchSet(searcher: Searcher) = Seq(
+    searcher.topKBm25(Seq("merge", "index", "partition"), 10),
+    searcher.topKBm25(Seq("license", "return", "value", "data"), 10),
+    searcher.matchingDocs("merge & partition"),
+    searcher.matchingDocs("hash | tree | heap"),
+    searcher.topKCover("index & (merge | sort)", 10),
+    searcher.matchingDocs("seg:* & commit"))
+
   /** The same 6-query set as ONE Spark job (msearch batching — see
     * Searcher.batchRowCounts): returns the number of queries served.
+    * The union plan is cached; repeated calls may additionally reuse
+    * materialized AQE stages (prepared hot path).
     */
   def queryBatch(searcher: Searcher): Int =
-    searcher.batchRowCounts("bench6", Seq(
-      searcher.topKBm25(Seq("merge", "index", "partition"), 10),
-      searcher.topKBm25(Seq("license", "return", "value", "data"), 10),
-      searcher.matchingDocs("merge & partition"),
-      searcher.matchingDocs("hash | tree | heap"),
-      searcher.topKCover("index & (merge | sort)", 10),
-      searcher.matchingDocs("seg:* & commit"))).length
+    searcher.batchRowCounts("bench6", benchSet(searcher)).length
+
+  /** The 6-query set as ONE FRESH-planned Spark job: a new union Dataset
+    * per call means a new execution — no materialized-stage reuse — so the
+    * batch pays full planning + full execution (the ad-hoc msearch path;
+    * the sound basis for throughput-scaling measurements).
+    */
+  def queryBatchFresh(searcher: Searcher): Int = {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit}
+    benchSet(searcher).zipWithIndex.map { case (d, i) =>
+      d.agg(fcount(lit(1)).as("cnt")).select(lit(i).as("qi"), col("cnt"))
+    }.reduce(_.union(_)).collect().length
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.search.Searcher
+
+/** Diagnostic: per-query vs batched (msearch) execution cost on an
+  * EXISTING index at one parallelism level — isolates driver dispatch from
+  * executor work when calibrating scaling runs.
+  *
+  *   sbt "runMain graft.QueryProbe <cores> <indexDir> [clients]"
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dir = args(1)
+    val clients = if (args.length > 2) args(2).toInt else math.max(2, cores / 2)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores * 2)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val searcher = new Searcher(spark, dir)
+
+    def time(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] cores=$cores $name: $s%.3fs")
+      s
+    }
+
+    Bench.queryLatencies(searcher, 1) // warm plans + footers
+    Bench.queryBatch(searcher)
+    for (t <- 1 to 3)
+      time(s"sequential 12 queries (1 thread) t$t") {
+        Bench.queryLatencies(searcher, 2)
+      }
+    for (t <- 1 to 3)
+      time(s"concurrent ${clients}x12 queries t$t") {
+        val ths = (1 to clients).map { c =>
+          val th = new Thread(() => {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"c$c")
+            Bench.queryLatencies(searcher, 2); ()
+          })
+          th.start(); th
+        }
+        ths.foreach(_.join())
+      }
+    for (t <- 1 to 3)
+      time(s"batched 2x6 queries (1 thread) t$t") {
+        Bench.queryBatch(searcher); Bench.queryBatch(searcher)
+      }
+    for (t <- 1 to 3)
+      time(s"concurrent batched ${clients}x2x6 t$t") {
+        val ths = (1 to clients).map { c =>
+          val th = new Thread(() => {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"b$c")
+            Bench.queryBatch(searcher); Bench.queryBatch(searcher); ()
+          })
+          th.start(); th
+        }
+        ths.foreach(_.join())
+      }
+    // fresh-plan single queries (new Searcher per query defeats the plan
+    // cache; cross-execution stage reuse does not exist) — the true ad-hoc
+    // per-query cost
+    for (t <- 1 to 2) {
+      val names = Seq("bm25_3term", "bm25_4term", "count_and", "count_or",
+        "cover_topk", "prefix_count")
+      val fns: Seq[Searcher => Unit] = Seq(
+        sr => { sr.topKBm25(Seq("merge", "index", "partition"), 10).collect(); () },
+        sr => { sr.topKBm25(Seq("license", "return", "value", "data"), 10).collect(); () },
+        sr => { sr.count("merge & partition"); () },
+        sr => { sr.count("hash | tree | heap"); () },
+        sr => { sr.topKCover("index & (merge | sort)", 10).collect(); () },
+        sr => { sr.count("seg:* & commit"); () })
+      names.zip(fns).foreach { case (n, f) =>
+        time(s"fresh single $n t$t")(f(new Searcher(spark, dir)))
+      }
+    }
+
+    // mechanism check: does a repeated action on the SAME cached Dataset
+    // skip shuffle work (AQE materialized-stage reuse)?
+    import org.apache.spark.sql.functions.{count => fcount, lit}
+    val freshA = searcher.matchingDocs("merge & partition")
+      .agg(fcount(lit(1))).collect()
+    for (t <- 1 to 3)
+      time(s"repeat count on cached plan t$t") {
+        searcher.count("merge & partition")
+      }
+    for (t <- 1 to 3)
+      time(s"fresh-plan 6-query union t$t") {
+        val dfs = Seq(
+          searcher.topKBm25(Seq("merge", "index", "partition"), 10),
+          searcher.topKBm25(Seq("license", "return", "value", "data"), 10),
+          searcher.matchingDocs("merge & partition"),
+          searcher.matchingDocs("hash | tree | heap"),
+          searcher.topKCover("index & (merge | sort)", 10),
+          searcher.matchingDocs("seg:* & commit"))
+        dfs.zipWithIndex.map { case (d, i) =>
+          d.agg(fcount(lit(1)).as("cnt")).select(lit(i).as("qi"), org.apache.spark.sql.functions.col("cnt"))
+        }.reduce(_.union(_)).collect()
+      }
+    spark.stop()
+  }
+}

@@ -76,28 +76,30 @@ object ScalingBench {
         System.err.println(f"[scaling] cores=$cores qtrial $qt: $totalQueries queries in $qSec%.1fs")
         bestQps = math.max(bestQps, totalQueries / qSec)
       }
-      // batched throughput: the SAME query set submitted as 6-query msearch
-      // jobs (Searcher.batchRowCounts) — per-job driver dispatch, which is
-      // serial at any cluster size, amortizes across each batch, so this
-      // measures the dataflow's own capacity
-      Bench.queryBatch(searcher) // warm the union plan
+      // ad-hoc (msearch) throughput: each client plans a FRESH 6-query
+      // union and executes it in full. Fresh Dataset per batch means no
+      // cross-execution AQE stage reuse can serve cached shuffle outputs
+      // (repeated actions on ONE cached Dataset reuse its materialized
+      // query stages — milliseconds — which measures the cache, not the
+      // dataflow; QueryProbe demonstrates both regimes). This phase is the
+      // sound query-side scaling number: full planning + full execution
+      // per batch, dispatch amortized 6×.
+      Bench.queryBatchFresh(searcher) // JIT/footers warm; result discarded
       var bestBatchQps = 0.0
-      for (bt <- 1 to 3) {
-        val batchesPerClient = math.max(2, perClient / 6)
+      for (bt <- 1 to 2) {
         val tb0 = System.nanoTime()
         val bthreads = (1 to clients).map { c =>
           val th = new Thread(() => {
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"bclient-$c")
-            var served = 0
-            while (served < batchesPerClient * 6) served += Bench.queryBatch(searcher)
+            Bench.queryBatchFresh(searcher)
             ()
           })
           th.start(); th
         }
         bthreads.foreach(_.join())
         val bSec = (System.nanoTime() - tb0) / 1e9
-        val bq = clients * math.max(2, perClient / 6) * 6
-        System.err.println(f"[scaling] cores=$cores btrial $bt: $bq batched queries in $bSec%.1fs")
+        val bq = clients * 6
+        System.err.println(f"[scaling] cores=$cores btrial $bt: $bq ad-hoc batched queries in $bSec%.1fs")
         bestBatchQps = math.max(bestBatchQps, bq / bSec)
       }
       Run(cores, bestBuild, nFiles / bestBuild,
@@ -135,37 +137,41 @@ object ScalingBench {
          |**Build scaling efficiency (N → 4N): ${f"$buildEff%.3f"}**
          |(target ≥ 0.8 per BASELINE.json north rule)
          |
-         |## Query latency + concurrent throughput (warm; BM25 top-k, boolean counts, prefix, cover top-k)
+         |## Prepared-query serving path (plan cache + materialized-stage reuse)
          |
-         || cores | p50 sec | p95 sec | concurrent q/s |
+         |Repeated queries hit the Searcher plan cache AND Spark's AQE
+         |materialized-stage reuse (re-collecting a cached Dataset re-runs
+         |only its final stage over existing shuffle output), so these
+         |numbers describe the HOT serving path — latency, not dataflow
+         |scaling. No efficiency claim is made on them: their bottleneck is
+         |driver dispatch + reuse bookkeeping, both fixed-size components
+         |that do not grow with the cluster.
+         |
+         || cores | p50 sec | p95 sec | concurrent q/s (cores/2 clients) |
          ||---|---|---|---|
          || ${r8.cores}  | ${f"${r8.p50}%.4f"}  | ${f"${r8.p95}%.4f"}  | ${f"${r8.qps}%.2f"} |
          || ${r32.cores} | ${f"${r32.p50}%.4f"} | ${f"${r32.p95}%.4f"} | ${f"${r32.qps}%.2f"} |
          |
-         |Query scaling efficiency (N → 4N): ${f"$queryEff%.3f"} (throughput under
-         |cores/2 concurrent clients). Plans are prepared-statement cached
-         |(Searcher plan cache) and warmed before measurement at BOTH levels,
-         |so the phase measures execution capacity — the part of a query a
-         |cluster's added executors actually parallelize — not repeated
-         |Catalyst planning on the driver.
+         |(raw prepared-path throughput ratio: ${f"$queryEff%.3f"} — see caveat above)
          |
-         |## Batched (msearch) query throughput — dispatch amortized
+         |## Ad-hoc (msearch) query throughput — the query-side scaling number
          |
-         |With plans cached, each remaining query is milliseconds of executor
-         |work behind ONE serial driver dispatch (job submission/scheduling),
-         |so per-query concurrent throughput is dispatch-bound at small core
-         |counts — an Amdahl floor that is a local-mode artifact: the driver
-         |is the SAME machine at N and 4N executors on a real cluster. The
-         |serving-tier answer is multi-query batching
-         |(`Searcher.batchRowCounts`): the same 6-query set unioned into one
-         |Spark job.
+         |Each client fresh-plans the 6-query set as ONE union job and
+         |executes it in full: a new Dataset per batch makes cross-execution
+         |stage reuse impossible, so every batch pays full Catalyst planning
+         |and full executor work (verified with graft.QueryProbe: a repeated
+         |action on a cached Dataset takes ~20 ms at either core count —
+         |measuring the cache — while a fresh-planned batch re-runs the whole
+         |dataflow). Dispatch and planning amortize across the 6-query batch,
+         |which is exactly how a serving tier submits concurrent work.
          |
-         || cores | batched q/s |
+         || cores | ad-hoc batched q/s |
          ||---|---|
          || ${r8.cores}  | ${f"${r8.batchQps}%.2f"} |
          || ${r32.cores} | ${f"${r32.batchQps}%.2f"} |
          |
-         |**Batched query scaling efficiency (N → 4N): ${f"$batchEff%.3f"}**
+         |**Ad-hoc query throughput scaling efficiency (N → 4N): ${f"$batchEff%.3f"}**
+         |(target ≥ 0.8 per BASELINE.json north rule)
          |
          |## Method / host calibration
          |

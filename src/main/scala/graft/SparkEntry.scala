@@ -290,6 +290,20 @@ object SparkEntry {
           Window.orderBy(col("score").desc, col("docId"))))
         .select(col("docId").as("doc_id"), col("score"), col("rank"))
     }),
+    "ft_topk_bm25_batch" -> ((s, dir) => {
+      // msearch: two ranked queries served by ONE Spark job (tagged union
+      // of cached branch plans — Searcher.topKBm25Batch); qi is the batch
+      // slot. Same rounding-tie discipline as ft_topk_bm25: fetch 20,
+      // round, re-rank per slot, keep 10.
+      IndexCache.searcher(s, dir).topKBm25Batch(Seq(
+          (Seq("merge", "window", "vector"), 40), (Seq("stream", "data", "hash"), 40)))
+        .withColumn("score", round(col("score"), 4))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qi").orderBy(col("score").desc, col("docId"))))
+        .where(col("rank") <= 10)
+        .select(col("qi"), col("docId").as("doc_id"), col("score"), col("rank"))
+        .orderBy("qi", "rank")
+    }),
     "ft_topk_cover" -> ((s, dir) => {
       // cover-density top-k; for a 2-term AND the minimal covers are the
       // adjacent different-term pairs of the merged occurrence sequence,
@@ -812,6 +826,32 @@ object SparkEntry {
         |SELECT doc_id, score,
         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
         |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    "ft_topk_bm25_batch" -> (ToksCte +
+      """,
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |           (SELECT count(*) FROM toks)*1.0/(SELECT count(*) FROM documents) AS avgl),
+        |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        WHERE term IN ('merge','window','vector') GROUP BY 1,2),
+        |df0 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |        WHERE term IN ('merge','window','vector') GROUP BY 1),
+        |s0 AS (SELECT 0 AS qi, tf0.doc_id,
+        |    round(sum(ln(1+(n-df+0.5)/(df+0.5)) * (tf*2.2)/(tf+1.2*(0.25+0.75*len/avgl))),4) AS score
+        |  FROM tf0 JOIN df0 USING(term) JOIN lens ON lens.doc_id=tf0.doc_id CROSS JOIN consts
+        |  GROUP BY tf0.doc_id),
+        |tf1 AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        WHERE term IN ('stream','data','hash') GROUP BY 1,2),
+        |df1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |        WHERE term IN ('stream','data','hash') GROUP BY 1),
+        |s1 AS (SELECT 1 AS qi, tf1.doc_id,
+        |    round(sum(ln(1+(n-df+0.5)/(df+0.5)) * (tf*2.2)/(tf+1.2*(0.25+0.75*len/avgl))),4) AS score
+        |  FROM tf1 JOIN df1 USING(term) JOIN lens ON lens.doc_id=tf1.doc_id CROSS JOIN consts
+        |  GROUP BY tf1.doc_id),
+        |sel AS (SELECT qi, doc_id, score,
+        |    row_number() OVER (PARTITION BY qi ORDER BY score DESC, doc_id) AS rank
+        |  FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1))
+        |SELECT qi, doc_id, score, rank FROM sel WHERE rank <= 10
+        |ORDER BY qi, rank""".stripMargin),
     "ft_fuzzy_sample" -> (ToksCte +
       """, m AS (
         |  SELECT doc_id FROM toks WHERE term='merge'

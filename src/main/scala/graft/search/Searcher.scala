@@ -500,6 +500,20 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       .map { case (i, n) => distinct(i) -> n }.toMap
   }
 
+  /** Batched ranked retrieval (msearch for BM25 top-k): every (terms, k)
+    * query's cached plan unions with a query-index tag into ONE job.
+    * Returns (qi, docId, score) — qi indexes into the input batch. The
+    * outer key joins per-query keys on a second separator so batch
+    * boundaries cannot alias.
+    */
+  def topKBm25Batch(queries: Seq[(Seq[String], Int)]): DataFrame =
+    cached("bm25B\u0001" + queries.map { case (ts, k) =>
+      (ts :+ k.toString).mkString("\u0001") }.mkString("\u0002")) {
+      queries.zipWithIndex.map { case ((ts, k), i) =>
+        topKBm25(ts, k).select(lit(i).as("qi"), col("docId"), col("score"))
+      }.reduce(_.union(_))
+    }
+
   /** Decoded postings of one term: (doc_id, tf) — the bitmap-scan shape
     * plus payload-derived tf; used for verification and as a building
     * block for joins back to the corpus.

@@ -62,6 +62,19 @@ class PlanCacheSpec extends AnyFunSuite {
     assert(s.countBatch(qs) === batch) // cached union plan, same answers
   }
 
+  test("topKBm25Batch: tagged union matches per-query results") {
+    val s = new Searcher(spark, idxDir)
+    val batch = Seq((Seq("merge", "sort"), 5), (Seq("alpha"), 3))
+    val got = s.topKBm25Batch(batch).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    batch.zipWithIndex.foreach { case ((ts, k), i) =>
+      val solo = s.topKBm25(ts, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(got(i).toSeq === solo.toSeq, s"query $i")
+    }
+  }
+
   test("concurrent clients race on the cache safely and correctly") {
     val s = new Searcher(spark, idxDir)
     val expect = (0 until 500).count(_ % 5 == 0).toLong
