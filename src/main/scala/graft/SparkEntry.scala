@@ -570,6 +570,49 @@ object SparkEntry {
         size(tokArray(col("text"))).cast("long").as("re_tokens"))
         .orderBy("doc_id")
     }),
+    "dedup_ngram_maxspans" -> ((s, dir) => {
+      // maximal duplicated SPANS: merge runs of consecutive duplicated
+      // 8-token windows into one (start_pos, span_tokens) range per run —
+      // the actionable output of exact-substring dedup (the byte ranges a
+      // pipeline cuts). Gaps-and-islands: run key = pos − row_number.
+      val n = 8
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val withLeads = (1 until n).foldLeft(tokens(s, dir)) { (df, i) =>
+        df.withColumn(s"t$i", lead("term", i).over(w))
+      }
+      val gramStr = concat_ws(" ", col("term") +: (1 until n).map(i => col(s"t$i")): _*)
+      val grams = withLeads.where(col(s"t${n - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"), hash60(gramStr).as("gram"))
+      val dup = grams.groupBy("gram")
+        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+        .select("gram")
+      grams.join(dup, "gram")
+        .select("doc_id", "pos")
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(min("pos").as("start_pos"), count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("start_pos"), col("n_windows"),
+          (col("n_windows") + (n - 1)).as("span_tokens"))
+        .orderBy("doc_id", "start_pos")
+    }),
+    "text_tfidf" -> ((s, dir) => {
+      // top-5 TF-IDF terms per doc (the per-doc keyword profile a
+      // training pipeline materializes): idf = ln(N/df); ties break on
+      // term; score rounded to 6dp for cross-engine float parity
+      val toks = tokens(s, dir)
+      val nDocs = documents(s, dir).count()
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(dfT, "term")
+        .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }),
     "text_stopwords" -> ((s, dir) => {
       // corpus stopword inventory: terms ranked by document frequency
       // (distinct docs containing the term). Ties at the cut break on the
@@ -1177,6 +1220,37 @@ object SparkEntry {
         |  FROM gr JOIN dup USING(gram) GROUP BY 1)
         |SELECT doc_id, dup_windows, total_windows FROM dw JOIN tot USING(doc_id)
         |ORDER BY doc_id""".stripMargin),
+    "dedup_ngram_maxspans" -> (ToksCte +
+      """,
+        |g AS (SELECT doc_id, pos,
+        |  term || ' ' || lead(term,1) OVER w || ' ' || lead(term,2) OVER w
+        |    || ' ' || lead(term,3) OVER w || ' ' || lead(term,4) OVER w
+        |    || ' ' || lead(term,5) OVER w || ' ' || lead(term,6) OVER w
+        |    || ' ' || lead(term,7) OVER w AS gs
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |gr AS (SELECT doc_id, pos, CAST('0x' || substr(md5(gs),1,15) AS BIGINT) AS gram
+        |  FROM g WHERE gs IS NOT NULL),
+        |dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |ds AS (SELECT gr.doc_id, pos FROM gr JOIN dup USING(gram)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM ds)
+        |SELECT doc_id, min(pos) AS start_pos, count(*) AS n_windows,
+        |  count(*) + 7 AS span_tokens
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin),
+    "text_tfidf" -> (ToksCte +
+      """,
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, tf.term,
+        |    round(tf * ln(n*1.0/df), 6) AS tfidf
+        |  FROM tf JOIN dfx ON dfx.term = tf.term CROSS JOIN n),
+        |rk AS (SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, term, tfidf, rank FROM rk WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin),
     "text_stopwords" -> (ToksCte +
       """,
         |d AS (SELECT DISTINCT doc_id, term FROM toks)
