@@ -60,6 +60,30 @@ object SparkEntry {
       cache.computeIfAbsent(key, _ => mk.persist())
   }
 
+  /** 8-token window hashes per doc: (doc_id, pos, gram) — the shared input
+    * of the exact-substring dedup family, materialized once per corpus
+    * like tokens/shingles.
+    */
+  private def grams8(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = tokens(s, dir) // resolve outside: no re-entrant computeIfAbsent
+    MatCache.get(s"$dir#grams8", {
+      val withLeads = (1 until n).foldLeft(toks) { (df, i) =>
+        df.withColumn(s"t$i", lead("term", i).over(w))
+      }
+      val gramStr = concat_ws(" ", col("term") +: (1 until n).map(i => col(s"t$i")): _*)
+      withLeads.where(col(s"t${n - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"), hash60(gramStr).as("gram"))
+    })
+  }
+
+  /** grams whose hash occurs in ≥2 distinct docs (duplicated windows). */
+  private def dupGrams8(s: SparkSession, dir: String): DataFrame =
+    grams8(s, dir).groupBy("gram")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+      .select("gram")
+
   /** 60-bit deterministic hash shared with DuckDB:
     * CAST('0x' || substr(md5(x),1,15) AS BIGINT).
     */
@@ -209,6 +233,7 @@ object SparkEntry {
     }
     safely("tokens")(tokens(s, dir).count())
     safely("shingles")(shingles(s, dir).count())
+    safely("grams8")(grams8(s, dir).count())
     safely("lsh signatures")(EmbedCache.signatures(s, dir).count())
     safely("kmeans centroids")(KMeansCache.centroids(s, dir))
   }
@@ -534,20 +559,11 @@ object SparkEntry {
       // distinct docs is a duplicated span. Cost is linear in corpus
       // tokens — one shuffle keyed on the gram hash (boilerplate head
       // grams are absorbed by map-side partial aggregation + AQE), one
-      // equi-join back onto the per-doc windows.
-      val n = 8
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val withLeads = (1 until n).foldLeft(tokens(s, dir)) { (df, i) =>
-        df.withColumn(s"t$i", lead("term", i).over(w))
-      }
-      val gramStr = concat_ws(" ", col("term") +: (1 until n).map(i => col(s"t$i")): _*)
-      val grams = withLeads.where(col(s"t${n - 1}").isNotNull)
-        .select(col("doc_id"), hash60(gramStr).as("gram"))
-      val dup = grams.groupBy("gram")
-        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
-        .select("gram")
+      // equi-join back onto the per-doc windows (grams8 materialized once
+      // per corpus, shared with dedup_ngram_maxspans).
+      val grams = grams8(s, dir)
       val total = grams.groupBy("doc_id").agg(count(lit(1)).as("total_windows"))
-      grams.join(dup, "gram")
+      grams.join(dupGrams8(s, dir), "gram")
         .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
         .join(total, "doc_id")
         .select(col("doc_id"), col("dup_windows"), col("total_windows"))
@@ -577,16 +593,7 @@ object SparkEntry {
       // pipeline cuts). Gaps-and-islands: run key = pos − row_number.
       val n = 8
       val w = Window.partitionBy("doc_id").orderBy("pos")
-      val withLeads = (1 until n).foldLeft(tokens(s, dir)) { (df, i) =>
-        df.withColumn(s"t$i", lead("term", i).over(w))
-      }
-      val gramStr = concat_ws(" ", col("term") +: (1 until n).map(i => col(s"t$i")): _*)
-      val grams = withLeads.where(col(s"t${n - 1}").isNotNull)
-        .select(col("doc_id"), col("pos"), hash60(gramStr).as("gram"))
-      val dup = grams.groupBy("gram")
-        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
-        .select("gram")
-      grams.join(dup, "gram")
+      grams8(s, dir).join(dupGrams8(s, dir), "gram")
         .select("doc_id", "pos")
         .withColumn("grp", col("pos") - row_number().over(w))
         .groupBy("doc_id", "grp")
