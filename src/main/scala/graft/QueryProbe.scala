@@ -83,26 +83,22 @@ object QueryProbe {
     }
 
     // mechanism check: does a repeated action on the SAME cached Dataset
-    // skip shuffle work (AQE materialized-stage reuse)?
+    // skip shuffle work (AQE materialized-stage reuse)? First run on a
+    // fresh agg plan is the full-execution baseline; the repeats hit the
+    // cached runCount plan whose stages are already materialized.
     import org.apache.spark.sql.functions.{count => fcount, lit}
-    val freshA = searcher.matchingDocs("merge & partition")
-      .agg(fcount(lit(1))).collect()
+    time("fresh-plan count (baseline)") {
+      searcher.matchingDocs("merge & partition").agg(fcount(lit(1))).collect()
+    }
     for (t <- 1 to 3)
       time(s"repeat count on cached plan t$t") {
         searcher.count("merge & partition")
       }
+    // same 6-query union ScalingBench's ad-hoc phase times (one source of
+    // truth: Bench.queryBatchFresh) — fresh Dataset per call, full dataflow
     for (t <- 1 to 3)
       time(s"fresh-plan 6-query union t$t") {
-        val dfs = Seq(
-          searcher.topKBm25(Seq("merge", "index", "partition"), 10),
-          searcher.topKBm25(Seq("license", "return", "value", "data"), 10),
-          searcher.matchingDocs("merge & partition"),
-          searcher.matchingDocs("hash | tree | heap"),
-          searcher.topKCover("index & (merge | sort)", 10),
-          searcher.matchingDocs("seg:* & commit"))
-        dfs.zipWithIndex.map { case (d, i) =>
-          d.agg(fcount(lit(1)).as("cnt")).select(lit(i).as("qi"), org.apache.spark.sql.functions.col("cnt"))
-        }.reduce(_.union(_)).collect()
+        Bench.queryBatchFresh(searcher)
       }
     spark.stop()
   }

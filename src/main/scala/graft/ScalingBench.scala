@@ -81,9 +81,11 @@ object ScalingBench {
       // cross-execution AQE stage reuse can serve cached shuffle outputs
       // (repeated actions on ONE cached Dataset reuse its materialized
       // query stages — milliseconds — which measures the cache, not the
-      // dataflow; QueryProbe demonstrates both regimes). This phase is the
-      // sound query-side scaling number: full planning + full execution
-      // per batch, dispatch amortized 6×.
+      // dataflow; QueryProbe demonstrates both regimes). Branch plans and
+      // topKBm25's stats lookup are warm prepared-statement state (one-time
+      // per level, identical at both levels, outside the timed trials);
+      // what each batch pays fresh is union planning + the FULL executor
+      // dataflow — the part added executors parallelize.
       Bench.queryBatchFresh(searcher) // JIT/footers warm; result discarded
       var bestBatchQps = 0.0
       for (bt <- 1 to 2) {
@@ -158,11 +160,13 @@ object ScalingBench {
          |
          |Each client fresh-plans the 6-query set as ONE union job and
          |executes it in full: a new Dataset per batch makes cross-execution
-         |stage reuse impossible, so every batch pays full Catalyst planning
-         |and full executor work (verified with graft.QueryProbe: a repeated
+         |stage reuse impossible, so every batch pays fresh union planning
+         |and FULL executor work (verified with graft.QueryProbe: a repeated
          |action on a cached Dataset takes ~20 ms at either core count —
          |measuring the cache — while a fresh-planned batch re-runs the whole
-         |dataflow). Dispatch and planning amortize across the 6-query batch,
+         |dataflow). Branch plans + the term-stats lookup are warm
+         |prepared-statement state, one-time per level and identical at both
+         |levels. Dispatch and planning amortize across the 6-query batch,
          |which is exactly how a serving tier submits concurrent work.
          |
          || cores | ad-hoc batched q/s |

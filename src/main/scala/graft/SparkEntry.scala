@@ -318,8 +318,9 @@ object SparkEntry {
     "ft_topk_bm25_batch" -> ((s, dir) => {
       // msearch: two ranked queries served by ONE Spark job (tagged union
       // of cached branch plans — Searcher.topKBm25Batch); qi is the batch
-      // slot. Same rounding-tie discipline as ft_topk_bm25: fetch 20,
-      // round, re-rank per slot, keep 10.
+      // slot. Same rounding-tie discipline as ft_topk_bm25 but with a
+      // deeper margin (fetch 40, round, re-rank per slot, keep 10): these
+      // common terms cluster scores harder than the single-query set.
       IndexCache.searcher(s, dir).topKBm25Batch(Seq(
           (Seq("merge", "window", "vector"), 40), (Seq("stream", "data", "hash"), 40)))
         .withColumn("score", round(col("score"), 4))

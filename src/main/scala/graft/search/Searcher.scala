@@ -486,7 +486,10 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     */
   def batchRowCounts(key: String, dfs: => Seq[DataFrame]): Array[(Int, Long)] =
     cached("batch" + Searcher.key(key)) {
-      dfs.zipWithIndex.map { case (d, i) =>
+      val branches = dfs
+      if (branches.isEmpty) // empty msearch buffer: no job at all
+        spark.range(0).select(col("id").cast("int").as("qi"), col("id").as("cnt"))
+      else branches.zipWithIndex.map { case (d, i) =>
         d.agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
           .select(lit(i).as("qi"), col("cnt"))
       }.reduce(_.union(_))
@@ -509,7 +512,10 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   def topKBm25Batch(queries: Seq[(Seq[String], Int)]): DataFrame =
     cached("bm25B\u0001" + queries.map { case (ts, k) =>
       (ts :+ k.toString).mkString("\u0001") }.mkString("\u0002")) {
-      queries.zipWithIndex.map { case ((ts, k), i) =>
+      if (queries.isEmpty)
+        spark.range(0).select(col("id").cast("int").as("qi"),
+          col("id").as("docId"), col("id").cast("double").as("score"))
+      else queries.zipWithIndex.map { case ((ts, k), i) =>
         topKBm25(ts, k).select(lit(i).as("qi"), col("docId"), col("score"))
       }.reduce(_.union(_))
     }

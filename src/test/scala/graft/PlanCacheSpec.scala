@@ -75,6 +75,13 @@ class PlanCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("empty msearch batches return empty results, not a crash") {
+    val s = new Searcher(spark, idxDir)
+    assert(s.countBatch(Seq.empty) === Map.empty)
+    assert(s.topKBm25Batch(Seq.empty).collect().isEmpty)
+    assert(s.topKBm25Batch(Seq.empty).columns.toSeq === Seq("qi", "docId", "score"))
+  }
+
   test("concurrent clients race on the cache safely and correctly") {
     val s = new Searcher(spark, idxDir)
     val expect = (0 until 500).count(_ % 5 == 0).toLong
