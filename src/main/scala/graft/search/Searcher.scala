@@ -520,6 +520,21 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       }.reduce(_.union(_))
     }
 
+  /** Batched cover-density ranked retrieval: the msearch twin of
+    * [[topKBm25Batch]] for the reference's flagship `<=>` ordering.
+    * Returns (qi, docId, distance).
+    */
+  def topKCoverBatch(queries: Seq[(String, Int)]): DataFrame =
+    cached("coverB\u0001" + queries.map { case (q, k) =>
+      q + "\u0001" + k }.mkString("\u0002")) {
+      if (queries.isEmpty)
+        spark.range(0).select(col("id").cast("int").as("qi"),
+          col("id").as("docId"), col("id").cast("double").as("distance"))
+      else queries.zipWithIndex.map { case ((q, k), i) =>
+        topKCover(q, k).select(lit(i).as("qi"), col("docId"), col("distance"))
+      }.reduce(_.union(_))
+    }
+
   /** Decoded postings of one term: (doc_id, tf) — the bitmap-scan shape
     * plus payload-derived tf; used for verification and as a building
     * block for joins back to the corpus.

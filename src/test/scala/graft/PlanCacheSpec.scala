@@ -75,6 +75,20 @@ class PlanCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("topKCoverBatch: tagged union matches per-query results") {
+    val s = new Searcher(spark, idxDir)
+    val batch = Seq(("alpha & merge", 4), ("sort | merge", 3))
+    val got = s.topKCoverBatch(batch).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    batch.zipWithIndex.foreach { case ((q, k), i) =>
+      val solo = s.topKCover(q, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(got(i).toSeq === solo.toSeq, s"query $i")
+    }
+    assert(s.topKCoverBatch(Seq.empty).collect().isEmpty)
+  }
+
   test("empty msearch batches return empty results, not a crash") {
     val s = new Searcher(spark, idxDir)
     assert(s.countBatch(Seq.empty) === Map.empty)
