@@ -192,7 +192,11 @@ object ScalingBench {
          |SMT threads, which is the regime the ≥0.8 target describes.
          |""".stripMargin
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), md)
+    // per-run file: BENCH/BASELINE.md is the CURATED multi-run disclosure
+    // (every run's tables merged by hand) — a single run must not clobber it
+    val out = java.nio.file.Paths.get(s"BENCH/BASELINE_run_${loN}to$hiN.md")
+    java.nio.file.Files.writeString(out, md)
+    System.err.println(s"[scaling] wrote $out — merge into BENCH/BASELINE.md manually")
     println(md)
   }
 }
