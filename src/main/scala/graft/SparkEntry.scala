@@ -282,6 +282,22 @@ object SparkEntry {
       val r = IndexCache.searcher(s, dir).count("order & merge")
       s.range(1).select(lit(r).as("cnt"))
     }),
+    "ft_count_batch" -> ((s, dir) => {
+      // msearch counts: three boolean queries answered by ONE action
+      // (Searcher.countBatch) — each slot's count must equal the
+      // stand-alone query's count (oracle = union of the per-slot SQL)
+      import scala.jdk.CollectionConverters._
+      val qs = Seq("order & merge", "vector | stream", "!merge & order")
+      val counts = IndexCache.searcher(s, dir).countBatch(qs)
+      val rows = qs.zipWithIndex.map { case (q, i) =>
+        org.apache.spark.sql.Row(i, counts(q))
+      }
+      s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qi",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    }),
     "ft_count_or" -> ((s, dir) => {
       val r = IndexCache.searcher(s, dir).count("vector | stream")
       s.range(1).select(lit(r).as("cnt"))
@@ -813,6 +829,17 @@ object SparkEntry {
         |  INTERSECT SELECT doc_id FROM toks WHERE term='merge') x""".stripMargin),
     "ft_count_or" -> (ToksCte +
       "SELECT count(DISTINCT doc_id) AS cnt FROM toks WHERE term IN ('vector','stream')"),
+    "ft_count_batch" -> (ToksCte +
+      """SELECT 0 AS qi, count(*) AS cnt FROM (
+        |  SELECT doc_id FROM toks WHERE term='order'
+        |  INTERSECT SELECT doc_id FROM toks WHERE term='merge') x
+        |UNION ALL
+        |SELECT 1, count(DISTINCT doc_id) FROM toks WHERE term IN ('vector','stream')
+        |UNION ALL
+        |SELECT 2, count(*) FROM (
+        |  SELECT DISTINCT doc_id FROM toks WHERE term='order'
+        |  EXCEPT SELECT DISTINCT doc_id FROM toks WHERE term='merge') x
+        |ORDER BY qi""".stripMargin),
     "ft_count_notand" -> (ToksCte +
       """SELECT count(*) AS cnt FROM (
         |  SELECT DISTINCT doc_id FROM toks WHERE term='order'
