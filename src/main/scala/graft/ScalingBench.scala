@@ -193,8 +193,11 @@ object ScalingBench {
          |""".stripMargin
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
     // per-run file: BENCH/BASELINE.md is the CURATED multi-run disclosure
-    // (every run's tables merged by hand) — a single run must not clobber it
-    val out = java.nio.file.Paths.get(s"BENCH/BASELINE_run_${loN}to$hiN.md")
+    // (every run's tables merged by hand) — a single run must not clobber
+    // it, and repeated runs of the SAME pair must not clobber each other
+    val out = Iterator.from(1)
+      .map(k => java.nio.file.Paths.get(s"BENCH/BASELINE_run_${loN}to${hiN}_$k.md"))
+      .find(p => !java.nio.file.Files.exists(p)).get
     java.nio.file.Files.writeString(out, md)
     System.err.println(s"[scaling] wrote $out — merge into BENCH/BASELINE.md manually")
     println(md)

@@ -78,11 +78,17 @@ object SparkEntry {
     })
   }
 
-  /** grams whose hash occurs in ≥2 distinct docs (duplicated windows). */
-  private def dupGrams8(s: SparkSession, dir: String): DataFrame =
-    grams8(s, dir).groupBy("gram")
-      .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
-      .select("gram")
+  /** grams whose hash occurs in ≥2 distinct docs (duplicated windows) —
+    * a corpus-sized shuffle+agg, so cached like the gram table itself
+    * (both ngram dedup queries consume it).
+    */
+  private def dupGrams8(s: SparkSession, dir: String): DataFrame = {
+    val g = grams8(s, dir) // resolve outside: no re-entrant computeIfAbsent
+    MatCache.get(s"$dir#dupGrams8",
+      g.groupBy("gram")
+        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+        .select("gram"))
+  }
 
   /** 60-bit deterministic hash shared with DuckDB:
     * CAST('0x' || substr(md5(x),1,15) AS BIGINT).
@@ -234,6 +240,7 @@ object SparkEntry {
     safely("tokens")(tokens(s, dir).count())
     safely("shingles")(shingles(s, dir).count())
     safely("grams8")(grams8(s, dir).count())
+    safely("dupGrams8")(dupGrams8(s, dir).count())
     safely("lsh signatures")(EmbedCache.signatures(s, dir).count())
     safely("kmeans centroids")(KMeansCache.centroids(s, dir))
   }
@@ -286,17 +293,11 @@ object SparkEntry {
       // msearch counts: three boolean queries answered by ONE action
       // (Searcher.countBatch) — each slot's count must equal the
       // stand-alone query's count (oracle = union of the per-slot SQL)
-      import scala.jdk.CollectionConverters._
       val qs = Seq("order & merge", "vector | stream", "!merge & order")
       val counts = IndexCache.searcher(s, dir).countBatch(qs)
-      val rows = qs.zipWithIndex.map { case (q, i) =>
-        org.apache.spark.sql.Row(i, counts(q))
-      }
-      s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("qi",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("cnt",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      qs.zipWithIndex.map { case (q, i) =>
+        s.range(1).select(lit(i).as("qi"), lit(counts(q)).as("cnt"))
+      }.reduce(_.union(_))
     }),
     "ft_count_or" -> ((s, dir) => {
       val r = IndexCache.searcher(s, dir).count("vector | stream")

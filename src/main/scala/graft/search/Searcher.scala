@@ -484,11 +484,19 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * (branch index, row count) per input. The union plan is cached under
     * `key` (caller owns key uniqueness per Searcher instance).
     */
+  /** Zero-row frame with (qi, cols...) — the empty-msearch schema shared
+    * by every batch API's empty-input guard.
+    */
+  private def emptyBatch(cols: (String, String)*): DataFrame =
+    spark.range(0).select(
+      col("id").cast("int").as("qi") +: cols.map { case (n, t) =>
+        col("id").cast(t).as(n) }: _*)
+
   def batchRowCounts(key: String, dfs: => Seq[DataFrame]): Array[(Int, Long)] =
     cached("batch" + Searcher.key(key)) {
       val branches = dfs
       if (branches.isEmpty) // empty msearch buffer: no job at all
-        spark.range(0).select(col("id").cast("int").as("qi"), col("id").as("cnt"))
+        emptyBatch("cnt" -> "long")
       else branches.zipWithIndex.map { case (d, i) =>
         d.agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
           .select(lit(i).as("qi"), col("cnt"))
@@ -512,9 +520,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   def topKBm25Batch(queries: Seq[(Seq[String], Int)]): DataFrame =
     cached("bm25B\u0001" + queries.map { case (ts, k) =>
       (ts :+ k.toString).mkString("\u0001") }.mkString("\u0002")) {
-      if (queries.isEmpty)
-        spark.range(0).select(col("id").cast("int").as("qi"),
-          col("id").as("docId"), col("id").cast("double").as("score"))
+      if (queries.isEmpty) emptyBatch("docId" -> "long", "score" -> "double")
       else queries.zipWithIndex.map { case ((ts, k), i) =>
         topKBm25(ts, k).select(lit(i).as("qi"), col("docId"), col("score"))
       }.reduce(_.union(_))
@@ -527,9 +533,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   def topKCoverBatch(queries: Seq[(String, Int)]): DataFrame =
     cached("coverB\u0001" + queries.map { case (q, k) =>
       q + "\u0001" + k }.mkString("\u0002")) {
-      if (queries.isEmpty)
-        spark.range(0).select(col("id").cast("int").as("qi"),
-          col("id").as("docId"), col("id").cast("double").as("distance"))
+      if (queries.isEmpty) emptyBatch("docId" -> "long", "distance" -> "double")
       else queries.zipWithIndex.map { case ((q, k), i) =>
         topKCover(q, k).select(lit(i).as("qi"), col("docId"), col("distance"))
       }.reduce(_.union(_))

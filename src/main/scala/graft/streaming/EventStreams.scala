@@ -27,18 +27,26 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("kind"), col("n"))
 
-  /** Open-session state: millis bounds + event count. */
+  /** One open session: millis bounds + event count. */
   case class SessionState(start: Long, last: Long, n: Int)
+
+  /** All of a user's in-flight sessions (late events can open a session
+    * BEHIND an existing one, so state is a set, not a single session).
+    */
+  case class OpenSessions(sessions: List[SessionState])
 
   /** A closed session. */
   case class SessionOut(user: String, start: Timestamp, end: Timestamp, events: Int)
 
   /** Gap sessionization: a user's session closes after `gapMs` of event-time
-    * inactivity. Closure happens two ways, both exactly-once under Append:
-    * in-line, when a later event of the same user arrives past the gap; and
-    * by event-time timeout, when the watermark passes `last + gapMs` with no
-    * further events. Out-of-order events inside one microbatch are sorted
-    * before folding, so results do not depend on batch arrival order.
+    * inactivity. A session is emitted (exactly once, Append) only when the
+    * watermark passes `last + gapMs` — never eagerly on the next event —
+    * because an in-gap LATE event may still arrive and extend or bridge it.
+    * Each event merges every in-flight session within `gapMs` of it (an
+    * event can bridge two sessions into one); state is bounded by the
+    * watermark, which finalizes sessions on data or timeout invocations
+    * alike. Results are independent of how events split across microbatches
+    * for any arrival order the watermark admits.
     */
   def sessions(events: Dataset[(Timestamp, String)], gapMs: Long,
                watermark: String = "10 seconds"): Dataset[SessionOut] = {
@@ -47,37 +55,34 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .as[(Timestamp, String)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[OpenSessions, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: String, it: Iterator[(Timestamp, String)],
-         state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(
-              SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
-          } else {
-            val ts = it.map(_._1.getTime).toArray.sorted
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur = cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  // late-but-in-gap events extend the session backwards too
-                  Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-                case Some(s) =>
-                  closed ::= SessionOut(user, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n)
-                  Some(SessionState(t, t, 1))
-                case None => Some(SessionState(t, t, 1))
+         state: GroupState[OpenSessions]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var open = state.getOption.map(_.sessions).getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            it.map(_._1.getTime).toArray.sorted.foreach { t =>
+              val (near, far) = open.partition(s =>
+                t >= s.start - gapMs && t <= s.last + gapMs)
+              val merged = near.foldLeft(SessionState(t, t, 1)) { (a, s) =>
+                SessionState(math.min(a.start, s.start),
+                  math.max(a.last, s.last), a.n + s.n)
               }
+              open = merged :: far
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.reverse.iterator
           }
+          // watermark-final: no admissible event can extend these anymore
+          val (closed, stillOpen) = open.partition(_.last + gapMs <= wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(stillOpen))
+            // earliest possible closure; > wm because stillOpen survived the
+            // partition above, so the timestamp is always legal
+            state.setTimeoutTimestamp(stillOpen.map(_.last + gapMs).min)
+          }
+          closed.sortBy(_.start).iterator.map(s =>
+            SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
       }
   }
 }

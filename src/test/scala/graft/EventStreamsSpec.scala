@@ -38,7 +38,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("gap sessionization: in-line closure and event-time timeout closure") {
+  test("windowed counts, APPEND mode: window emits once on close; late rows drop") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val df = EventStreams.windowedCounts(
+      mem.toDF.toDF("ts", "user", "kind"), windowSize = "10 seconds",
+      watermark = "5 seconds")
+    val q = df.writeStream.format("memory").queryName("wca")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def rows() = spark.table("wca").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000 - Base, r.getString(1), r.getLong(2)))
+        .toSeq
+      mem.addData((ts(1), "a", "click"), (ts(2), "b", "click"))
+      q.processAllAvailable()
+      assert(rows().isEmpty) // watermark has not passed the window end
+      mem.addData((ts(30), "a", "view")) // moves watermark to 25
+      q.processAllAvailable()
+      mem.addData((ts(31), "a", "view")) // batch AFTER the move: [0,10) closes
+      q.processAllAvailable()
+      assert(rows().count(_ == (0L, "click", 2L)) === 1) // exactly-once emission
+      // a late click at t=3 (far below watermark 25) must be dropped, not
+      // re-open or re-emit the closed window
+      mem.addData((ts(3), "x", "click"))
+      q.processAllAvailable()
+      assert(rows().count(_._1 == 0L) === 1)
+      assert(rows().count(_ == (0L, "click", 2L)) === 1)
+    } finally q.stop()
+  }
+
+  test("gap sessionization: watermark closure, in-gap late extension") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
     val out = EventStreams.sessions(mem.toDS(), gapMs = 30000L,
@@ -55,21 +84,21 @@ class EventStreamsSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(rows() === Set.empty) // nothing closed yet
 
-      // batch 2: a's event at t=100 is past the 30s gap → closes a's first
-      // session IN-LINE; watermark advances to 100-10=90 > b.last+gap=32 →
-      // b's session closes by EVENT-TIME TIMEOUT
+      // batch 2: a's event at t=100 is past the 30s gap → a now has TWO
+      // open sessions (the first is NOT emitted eagerly: an in-gap late
+      // event could still extend it). The batch moves the watermark to 90.
       mem.addData((ts(100), "a"))
       q.processAllAvailable()
-      // timeout fires on the batch AFTER the watermark move; nudge with an
-      // unrelated key so no real session is disturbed
+      // next batch processes timeouts: watermark 90 > last+gap for a's
+      // first session (35) and b's (32) → both become final
       mem.addData((ts(101), "c"))
       q.processAllAvailable()
       assert(rows().contains(("a", 0L, 5L, 2)))
       assert(rows().contains(("b", 2L, 2L, 1)))
       assert(!rows().exists(_._1 == "c")) // c's session is still open
 
-      // out-of-order WITHIN the gap extends, not splits: a at t=95 (late
-      // but above watermark) folds into a's open t=100 session
+      // out-of-order WITHIN the gap extends backwards, not splits: a at
+      // t=95 (late but above watermark 91) folds into a's open session
       mem.addData((ts(95), "a"), (ts(130), "a"))
       q.processAllAvailable()
       mem.addData((ts(300), "d"))
@@ -77,6 +106,43 @@ class EventStreamsSpec extends AnyFunSuite {
       mem.addData((ts(301), "d"))
       q.processAllAvailable()
       assert(rows().contains(("a", 95L, 130L, 3))) // 95,100,130 one session
+    } finally q.stop()
+  }
+
+  test("late events bridge two sessions; far-late events open their own") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = EventStreams.sessions(mem.toDS(), gapMs = 30000L,
+      watermark = "60 seconds")
+    val q = out.writeStream.format("memory").queryName("sess2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def rows() = spark.table("sess2").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000 - Base,
+          r.getTimestamp(2).getTime / 1000 - Base, r.getInt(3))).toSet
+
+      // u: t=0 and t=50 are >gap apart → two open sessions
+      mem.addData((ts(0), "u"), (ts(50), "u"))
+      q.processAllAvailable()
+      // the late bridge at t=25 is within gap of BOTH → they merge into one
+      mem.addData((ts(25), "u"))
+      q.processAllAvailable()
+      // w opens at 200 (watermark afterwards: 140)
+      mem.addData((ts(200), "w"))
+      q.processAllAvailable()
+      // w's late event at 145 is admissible (≥140) but >gap before 200 →
+      // its OWN session behind the open one, not a merge
+      mem.addData((ts(145), "w"))
+      q.processAllAvailable()
+      // advance the watermark past every last+gap and let timeouts fire
+      mem.addData((ts(300), "z"))
+      q.processAllAvailable()
+      mem.addData((ts(301), "z"))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        ("u", 0L, 50L, 3),    // bridged: 0,25,50 one session
+        ("w", 145L, 145L, 1), // far-late stand-alone
+        ("w", 200L, 200L, 1)))
     } finally q.stop()
   }
 }
