@@ -283,6 +283,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
         .orderBy("hour", "event_type")
     }),
+    "events_sessions" -> ((s, dir) => {
+      // batch gap sessionization (30-min inactivity closes a session) —
+      // the gaps-and-islands twin of the streaming
+      // EventStreams.sessions state machine (EventStreamsSpec asserts the
+      // two produce identical sessions on one fixture)
+      graft.streaming.EventStreams.sessionsBatch(
+          s.read.parquet(s"$dir/events.parquet"), "user_id", "ts",
+          30L * 60 * 1000)
+        .select(col("user").as("user_id"), col("start"), col("end"),
+          col("events"))
+        .orderBy("user_id", "start")
+    }),
 
     // ---- inverted-index engine over documents ----
     "ft_count_and" -> ((s, dir) => {
@@ -477,6 +489,18 @@ object SparkEntry {
         .where(col("distance") =!= Double.PositiveInfinity)
         .select(col("docId").as("doc_id"), col("addon").as("n_chars"))
     }),
+    "ft_order2" -> ((s, dir) => {
+      // multi-ORDER-BY-key scan in ONE pass (reference sorts the whole
+      // distances[norderbys] vector then TID — src/rumget.c:2218-2301
+      // insertScanItem, src/rumsort.c:3977-4022 comparetup_rum):
+      // WHERE t @@ 'order & window'
+      // ORDER BY t <=> q, n_chars <=> 600 LIMIT 10, lexicographic
+      import graft.search.Searcher.OrderKey
+      IndexCache.searcher(s, dir).topKMulti("order & window",
+          Seq(OrderKey.Rank(), OrderKey.Addon(600L, "both")), 10)
+        .select(col("docId").as("doc_id"), round(col("d0"), 4).as("distance"),
+          col("d1").cast("long").as("dist2"))
+    }),
     "ft_addon_range" -> ((s, dir) => {
       // served from the (addon, docId)-ordered layout: bounded stream
       // [400, 700], cost tracks the in-range match count
@@ -552,13 +576,37 @@ object SparkEntry {
           (col("ca") + col("cb") - col("i")).as("u_sh"))
         .orderBy("doc_a", "doc_b")
     }),
+    "dedup_verify_pairs" -> ((s, dir) => {
+      // the verify step of the Lee-et-al. pipeline: EXACT jaccard computed
+      // ONLY over the minhash candidate pairs (never all pairs — candidate
+      // count bounds the work, that is the point of the minhash stage).
+      // Each candidate rides an equi-join to its A-side shingles (doc_a),
+      // then the B-side matches on the composite (doc_b, sh) — intersection
+      // size per pair without any theta-join. θ = 0.5 expressed as the
+      // exact integer predicate 2·i ≥ u (no float threshold drift).
+      val cand = queries("dedup_minhash_pairs")(s, dir).select("doc_a", "doc_b")
+      val ss = shingles(s, dir).select("doc_id", "sh").distinct()
+      val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = cand
+        .join(ss.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(ss.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("c", "ca"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("c", "cb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("i").as("i_sh"),
+          (col("ca") + col("cb") - col("i")).as("u_sh"))
+        .where(col("i_sh") * 2 >= col("u_sh"))
+        .orderBy("doc_a", "doc_b")
+    }),
     "dedup_cluster" -> ((s, dir) => {
-      // near-dup CLUSTER assignment: connected components over the minhash
-      // pair graph; every doc gets the component-min docId as its canonical
-      // rep (rep == doc_id ⇒ keeper) — the step that turns pairwise dedup
-      // output into per-document keep/drop decisions
+      // near-dup CLUSTER assignment: connected components over the VERIFIED
+      // near-dup edges (candidates → exact-jaccard verify → cluster, the
+      // full Lee-et-al. chain); every doc gets the component-min docId as
+      // its canonical rep (rep == doc_id ⇒ keeper) — the step that turns
+      // pairwise dedup output into per-document keep/drop decisions
       import graft.text.Components
-      val pairs = queries("dedup_minhash_pairs")(s, dir)
+      val pairs = queries("dedup_verify_pairs")(s, dir).select("doc_a", "doc_b")
       Components.components(pairs, "doc_a", "doc_b", documents(s, dir), "doc_id")
         .orderBy("doc_id")
     }),
@@ -669,6 +717,25 @@ object SparkEntry {
         .withColumn("rnk", row_number().over(Window.orderBy(
           (col("i_cnt") * col("i_cnt") / col("n_uniq")).desc, col("doc_id"))))
         .orderBy("rnk")
+    }),
+    "arr_order" -> ((s, dir) => {
+      // ordered scan BY array distance — `ORDER BY arr <=> const LIMIT k`
+      // (reference array ordering cases, sql/array.sql:17-30): distance =
+      // 1/cosine-similarity over distinct-element sets (DIST_FROM_SML,
+      // rum_arr_utils.c:855-880), finite matches only, ties on doc_id.
+      // The raw double is emitted un-rounded: sqrt and division are
+      // correctly-rounded IEEE in both engines, so the values agree
+      // bit-exactly and the driver's 1e-12 float compare passes.
+      val qArr = Seq("merge", "window", "vector")
+      val terms = tokens(s, dir).groupBy("doc_id")
+        .agg(collect_set("term").as("ts"))
+      terms.select(col("doc_id"),
+          graft.compat.ArrayOps.distance(col("ts"), typedlit(qArr)).as("dist"),
+          size(array_intersect(col("ts"), typedlit(qArr))).cast("long").as("i_cnt"),
+          size(col("ts")).cast("long").as("n_uniq"))
+        .where(col("dist") =!= Double.PositiveInfinity)
+        .orderBy(col("dist").asc, col("doc_id").asc)
+        .limit(10)
     }),
     "inv_query_match" -> ((s, dir) => {
       import graft.compat.QueryIndex
@@ -824,6 +891,21 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         |round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // gap sessionization, gaps-and-islands: a session breaks where the gap
+    // to the previous event (per user) strictly exceeds 30 minutes
+    "events_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |y AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS UNBOUNDED PRECEDING) AS sess FROM x)
+        |SELECT user_id, min(ts) AS start, max(ts) AS "end",
+        |  count(*) AS events
+        |FROM y GROUP BY user_id, sess
+        |ORDER BY user_id, start""".stripMargin,
     "ft_count_and" -> (ToksCte +
       """SELECT count(*) AS cnt FROM (
         |  SELECT doc_id FROM toks WHERE term='order'
@@ -888,6 +970,29 @@ object SparkEntry {
         |          FROM scores)
         |SELECT doc_id, round(d, 4) AS distance
         |FROM dists ORDER BY d, doc_id LIMIT 10""".stripMargin),
+    // multi-ORDER-BY-key: identical cover algebra, then LEXICOGRAPHIC
+    // (rank distance, addon distance, doc_id) ordering — the second key
+    // breaks ties the first key leaves
+    "ft_order2" -> (ToksCte +
+      """,
+        |occ AS (SELECT doc_id, pos, term FROM toks WHERE term IN ('order','window')),
+        |seq AS (SELECT doc_id, pos, term,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS q,
+        |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm
+        |        FROM occ),
+        |covers AS (SELECT doc_id, pos AS p, q, term AS t1 FROM seq
+        |           WHERE nterm IS NOT NULL AND nterm <> term),
+        |numbered AS (SELECT doc_id, p, q, t1,
+        |             row_number() OVER (PARTITION BY doc_id, t1 ORDER BY p) AS l
+        |             FROM covers),
+        |scores AS (SELECT doc_id, sum(0.2/(q - p)/(l*l)/1.64493406685) AS score
+        |           FROM numbered GROUP BY doc_id),
+        |dists AS (SELECT doc_id, CAST(CAST(1.0 AS REAL)/CAST(score AS REAL) AS DOUBLE) AS d
+        |          FROM scores)
+        |SELECT s.doc_id, round(s.d, 4) AS distance,
+        |  CAST(abs(dd.n_chars - 600) AS BIGINT) AS dist2
+        |FROM dists s JOIN documents dd ON dd.doc_id = s.doc_id
+        |ORDER BY s.d, abs(dd.n_chars - 600), s.doc_id LIMIT 10""".stripMargin),
     "ft_topk_bm25" -> (ToksCte +
       """,
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
@@ -1159,6 +1264,19 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY i_cnt*i_cnt*1.0/n_uniq DESC, doc_id) AS rnk
         |FROM ds WHERE i_cnt > 0
         |ORDER BY rnk LIMIT 20""".stripMargin),
+    // array ordered scan: dist replays the engine's exact double algebra
+    // 1/(i/sqrt(n·3)) — NOT the algebraically-equal sqrt(n·3)/i, which can
+    // differ in the last ulp — so the doubles agree bit-exactly
+    "arr_order" -> (ToksCte +
+      """, ds AS (
+        |  SELECT doc_id, count(DISTINCT term) AS n_uniq,
+        |    count(DISTINCT CASE WHEN term IN ('merge','window','vector') THEN term END) AS i_cnt
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id,
+        |  1.0/(CAST(i_cnt AS DOUBLE)/sqrt(CAST(n_uniq AS DOUBLE)*3.0)) AS dist,
+        |  CAST(i_cnt AS BIGINT) AS i_cnt, CAST(n_uniq AS BIGINT) AS n_uniq
+        |FROM ds WHERE i_cnt > 0
+        |ORDER BY dist, doc_id LIMIT 10""".stripMargin),
     "inv_query_match" -> (ToksCte +
       """, m AS (
         |  SELECT doc_id,
@@ -1211,7 +1329,27 @@ object SparkEntry {
         |SELECT doc_a, doc_b, i AS i_sh, ca.c+cb.c-i AS u_sh
         |FROM inter JOIN sizes ca ON ca.doc_id=doc_a JOIN sizes cb ON cb.doc_id=doc_b
         |ORDER BY doc_a, doc_b""".stripMargin),
-    // exact transitive closure of the minhash pair graph via recursive CTE;
+    // verify step: exact jaccard over the minhash CANDIDATE pairs only,
+    // θ = 0.5 as the exact integer predicate 2·i ≥ u
+    "dedup_verify_pairs" -> (ShingCte +
+      """,
+        |seeds AS (SELECT CAST(unnest(range(0,4)) AS INTEGER) AS seed),
+        |sig AS (SELECT doc_id, seed,
+        |  min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),1,15) AS BIGINT)) AS minhash
+        |  FROM shing, seeds GROUP BY doc_id, seed),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.seed=b.seed AND a.minhash=b.minhash AND a.doc_id<b.doc_id),
+        |ss AS (SELECT DISTINCT doc_id, sh FROM shing),
+        |sizes AS (SELECT doc_id, count(*) AS c FROM ss GROUP BY 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+        |  FROM cand p JOIN ss a ON a.doc_id=p.doc_a
+        |  JOIN ss b ON b.doc_id=p.doc_b AND b.sh=a.sh GROUP BY 1,2)
+        |SELECT doc_a, doc_b, i AS i_sh, ca.c+cb.c-i AS u_sh
+        |FROM inter JOIN sizes ca ON ca.doc_id=doc_a JOIN sizes cb ON cb.doc_id=doc_b
+        |WHERE 2*i >= ca.c+cb.c-i
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // exact transitive closure of the VERIFIED near-dup pair graph
+    // (candidates → exact-jaccard θ=0.5 → closure) via recursive CTE;
     // rep = min reachable docId, isolated docs rep = self
     "dedup_cluster" -> (ShingCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
@@ -1219,8 +1357,17 @@ object SparkEntry {
         |sig AS (SELECT doc_id, seed,
         |  min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),1,15) AS BIGINT)) AS minhash
         |  FROM shing, seeds GROUP BY doc_id, seed),
-        |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM sig a JOIN sig b ON a.seed=b.seed AND a.minhash=b.minhash AND a.doc_id<b.doc_id),
+        |ss AS (SELECT DISTINCT doc_id, sh FROM shing),
+        |sizes AS (SELECT doc_id, count(*) AS c FROM ss GROUP BY 1),
+        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+        |  FROM cand p JOIN ss a ON a.doc_id=p.doc_a
+        |  JOIN ss b ON b.doc_id=p.doc_b AND b.sh=a.sh GROUP BY 1,2),
+        |prs AS (SELECT i.doc_a, i.doc_b
+        |  FROM inter i JOIN sizes ca ON ca.doc_id=i.doc_a
+        |  JOIN sizes cb ON cb.doc_id=i.doc_b
+        |  WHERE 2*i.i >= ca.c+cb.c-i.i),
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
         |          UNION SELECT doc_b, doc_a FROM prs),
         |nodes AS (SELECT DISTINCT a AS doc FROM edges),

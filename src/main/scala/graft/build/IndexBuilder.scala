@@ -78,12 +78,14 @@ final case class TermEntry(term: String, tf: Int, len: Int, pos: Array[Byte])
   */
 object IndexBuilder {
 
-  /** On-disk format version. 4 = docs table carries `uniq` (the
-    * distinct-lexeme count UNIQ rank norms divide by). Readers and
-    * incremental writers refuse other versions up front — a pre-uniq index
-    * must be rebuilt, not half-read (a missing column would otherwise
-    * surface as a raw AnalysisException mid-query, or an append would mix
-    * docs schemas).
+  /** On-disk format version. Version 3 was stamped ambiguously — written
+    * both before and after the docs table gained `uniq` (the distinct-lexeme
+    * count UNIQ rank norms divide by) — so v4 pins the uniq-carrying schema
+    * and ALL v3 indexes require rebuild, including ones that happen to carry
+    * the column. Readers and incremental writers refuse other versions up
+    * front — a uniq-less index must be rebuilt, not half-read (a missing
+    * column would otherwise surface as a raw AnalysisException mid-query,
+    * or an append would mix docs schemas).
     */
   val CurrentFormat = 4
 
@@ -452,7 +454,8 @@ object IndexBuilder {
                       buildMs: Long, lineage: String,
                       lastBatchId: Long = -1L, fields: String = "",
                       dataFiles: Map[String, List[String]] = Map.empty,
-                      shardMs: Map[Int, Long] = Map.empty): IndexMeta = {
+                      shardMs: Map[Int, Long] = Map.empty,
+                      appendRuns: Int = 0): IndexMeta = {
     // top-level ndocs/maxTf columns mean this pass never touches the fat
     // `blocks` column — parquet column pruning keeps the stats refresh a
     // metadata-sized read, not a full index re-read. Explicit schemas keep
@@ -501,6 +504,7 @@ object IndexBuilder {
       keyKind = params.keyKind,
       altOrder = params.altOrder,
       fields = fields,
+      appendRuns = appendRuns,
       dataFiles = dataFiles + ("stats" -> listParquet(SegmentCatalog.statsDir(indexDir))))
     SegmentCatalog.save(indexDir, meta)
     meta
@@ -647,13 +651,27 @@ object IndexBuilder {
       shardMs = packAccMs(packAcc))
   }
 
+  /** Default auto-compaction threshold: once this many micro-segment
+    * appends have accumulated since the last full-layout rewrite, the next
+    * append triggers [[compact]] (size-tiered policy — the reference's
+    * automatic pending-list cleanup, src/rumvacuum.c:751-846). 0 disables.
+    * Bounds query-side run-merge work to O(threshold) overlapping runs per
+    * (shard, term) cell regardless of append count; readers stay isolated
+    * throughout because each rewrite commits via the atomic snapshot
+    * manifest.
+    */
+  val AutoCompactRuns = 8
+
   /** Incremental insert: append a micro-segment per shard for new docs
     * (ruminsert path). New docIds must not already exist in the index
     * (replacements: delete first). Query-side merges overlapping chunk
-    * ranges; run [[compact]] periodically to restore single-run layout.
+    * ranges; once `autoCompactRuns` appends accumulate, the commit itself
+    * runs [[compact]] to restore single-run layout (pass 0 to manage
+    * compaction manually).
     */
   def append(spark: SparkSession, newCorpus: DataFrame, docIdCol: String,
-             textCol: String, indexDir: String, batchId: Long = -1L): IndexMeta = {
+             textCol: String, indexDir: String, batchId: Long = -1L,
+             autoCompactRuns: Int = AutoCompactRuns): IndexMeta = {
     val meta = SegmentCatalog.load(indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
     requireFormat(meta)
@@ -667,7 +685,7 @@ object IndexBuilder {
       col("addon"), uniqUdf(col("text")).as("uniq"))
     commitAppend(spark, indexDir, meta, params, explodedOf(todo, params), docsDF,
       s"append(${newCorpus.queryExecution.logical.toString.linesIterator.take(1).mkString})",
-      batchId)
+      batchId, autoCompactRuns)
   }
 
   /** Incremental insert into a multi-column index — same micro-segment
@@ -676,7 +694,8 @@ object IndexBuilder {
     */
   def appendFields(spark: SparkSession, newCorpus: DataFrame, docIdCol: String,
                    fields: Seq[(String, String)], indexDir: String,
-                   batchId: Long = -1L): IndexMeta = {
+                   batchId: Long = -1L,
+                   autoCompactRuns: Int = AutoCompactRuns): IndexMeta = {
     val meta = SegmentCatalog.load(indexDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $indexDir"))
     requireFormat(meta)
@@ -698,7 +717,7 @@ object IndexBuilder {
       .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
       .select("shard", "docId", "len", "addon", "uniq")
     commitAppend(spark, indexDir, meta, params, exploded, docsDF,
-      s"appendFields(${fields.map(_._1).mkString(",")})", batchId)
+      s"appendFields(${fields.map(_._1).mkString(",")})", batchId, autoCompactRuns)
   }
 
   /** Shared micro-segment commit: pack+write postings (and alt copy),
@@ -708,7 +727,8 @@ object IndexBuilder {
     */
   private def commitAppend(spark: SparkSession, indexDir: String, meta: IndexMeta,
                            params: Params, exploded: DataFrame, docsDF: DataFrame,
-                           lineage: String, batchId: Long): IndexMeta = {
+                           lineage: String, batchId: Long,
+                           autoCompactRuns: Int): IndexMeta = {
     val t0 = System.currentTimeMillis()
     def before(kind: String): (Set[String], List[String]) = {
       val disk = listParquet(datasetDir(indexDir, kind)).toSet
@@ -744,9 +764,15 @@ object IndexBuilder {
     val priorMs = meta.shards.map(s => s.shard -> s.buildMs).toMap
     val delta = packAccMs(packAcc)
     val combined = priorMs ++ delta.map { case (s, ms) => s -> (priorMs.getOrElse(s, 0L) + ms) }
-    refresh(spark, indexDir, params, buildMs, lineage,
+    val committed = refresh(spark, indexDir, params, buildMs, lineage,
       lastBatchId = math.max(meta.lastBatchId, batchId), fields = meta.fields,
-      dataFiles = dataFiles, shardMs = combined)
+      dataFiles = dataFiles, shardMs = combined, appendRuns = meta.appendRuns + 1)
+    // size-tiered auto-compaction: the append itself is already durable via
+    // the manifest above, so a crash mid-compact loses only the rewrite —
+    // appendRuns stays above threshold and the next append retries it
+    if (autoCompactRuns > 0 && committed.appendRuns >= autoCompactRuns)
+      compact(spark, indexDir)
+    else committed
   }
 
   /** Garbage-collect data files not covered by the manifest listing —

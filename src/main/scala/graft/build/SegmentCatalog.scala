@@ -50,6 +50,12 @@ final case class IndexMeta(
       * text column); keys are field-prefixed, see IndexBuilder.fieldKey
       */
     fields: String = "",
+    /** micro-segment appends committed since the last full-layout rewrite
+      * (build/compact reset to 0) — the size-tier counter driving automatic
+      * compaction (the reference's pending-list cleanup analogue,
+      * src/rumvacuum.c:751-846)
+      */
+    appendRuns: Int = 0,
     /** Iceberg-snapshot-style data-file listing per dataset
       * ("postings" | "alt" | "docs" | "stats" → relative parquet paths).
       * Readers scan exactly these files, so data written by a crashed or
@@ -97,6 +103,7 @@ object SegmentCatalog {
     sb.append(s"keyKind=${meta.keyKind}\n")
     sb.append(s"altOrder=${meta.altOrder}\n")
     sb.append(s"fields=${meta.fields}\n")
+    sb.append(s"appendRuns=${meta.appendRuns}\n")
     meta.shards.sortBy(_.shard).foreach { s =>
       sb.append(s"shard=${s.shard},${s.terms},${s.chunkRows},${s.postings},${s.buildMs},${s.committedAtMs}\n")
     }
@@ -161,6 +168,7 @@ object SegmentCatalog {
       keyKind = kv.getOrElse("keyKind", "text"),
       altOrder = kv.getOrElse("altOrder", "false").toBoolean,
       fields = kv.getOrElse("fields", ""),
+      appendRuns = kv.getOrElse("appendRuns", "0").toInt,
       dataFiles = dfiles.map { case (k, v) => k -> v.toList }.toMap))
   }
 }

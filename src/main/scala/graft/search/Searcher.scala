@@ -321,6 +321,78 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     }
   }
 
+  /** Multi-key ordered scan: `WHERE t @@ q ORDER BY key1, key2, ... LIMIT k`
+    * with LEXICOGRAPHIC (dist1, dist2, ..., docId) ordering — the reference
+    * sorts by the whole distances[norderbys] vector then TID
+    * (src/rumget.c:2218-2301 insertScanItem; src/rumsort.c:3977-4022
+    * comparetup_rum), e.g. `ORDER BY t <=> q, d <=> c LIMIT k` in ONE index
+    * scan. Order keys: [[Searcher.OrderKey.Rank]] = cover-density distance
+    * of the match query (`t <=> q`), [[Searcher.OrderKey.Addon]] = attached-
+    * column distance (`addon <op> c`). The kernel emits (docId, rank
+    * distance, addon) in one pass; per-key distance columns are derived and
+    * the composite top-k runs as TakeOrderedAndProject — per-partition k-
+    * pruning on the FULL composite key, so no shard can drop a row that a
+    * later tie-break would promote. Addon keys follow the engine's finite-
+    * only contract (one-sided misses are excluded, like [[topKAddon]]).
+    * Output: (docId, d0, d1, ...) distances as doubles in key order.
+    */
+  def topKMulti(queryStr: String, orderKeys: Seq[Searcher.OrderKey], k: Int): DataFrame =
+    cached("topKMul" + Searcher.key(
+      queryStr +: orderKeys.map(_.toString) :+ k.toString: _*)) {
+      topKMultiC(compile(queryStr), orderKeys, k)
+    }
+
+  private def topKMultiC(cq: CompiledQuery, orderKeys: Seq[Searcher.OrderKey],
+                         k: Int): DataFrame = {
+    import Searcher.OrderKey
+    require(orderKeys.nonEmpty, "at least one order key")
+    val methods = orderKeys.collect { case OrderKey.Rank(m) => m }
+    require(methods.distinct.size <= 1,
+      "all Rank keys must share one normalization method")
+    val needRank = methods.nonEmpty
+    val method = methods.headOption.getOrElse(0)
+    if (SearchKernel.isVoid(cq))
+      return spark.range(0).select(col("id").as("docId") +:
+        orderKeys.indices.map(i => col("id").cast("double").as(s"d$i")): _*)
+    val needsHeap = (method & (CoverRank.NormUniq | CoverRank.NormLogUniq)) != 0
+    val base =
+      if (needsHeap || SearchKernel.needsFullScan(cq))
+        fullScan(cq, score = needRank, matchOnly = true, k = 0, method = method)
+      else {
+        val keys = SearchKernel.keySpecs(cq)
+        // k = 0: the kernel's own heap orders by (rank, docId) only, which
+        // is NOT a prefix of the composite order when addon keys follow —
+        // pruning belongs to the composite TakeOrderedAndProject below
+        postings.where(termPredicate(cq))
+          .groupByKey(_.shard)
+          .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
+            SearchKernel.matchShard(cq, keys, it, score = needRank, k = 0,
+              method = method))
+          .toDF("docId", "distance", "addon")
+      }
+    val distCols = orderKeys.zipWithIndex.map {
+      case (OrderKey.Rank(_), i) => col("distance").as(s"d$i")
+      case (OrderKey.Addon(c, op), i) =>
+        // exact decimal distance — same arithmetic as topKAddon's fallback
+        val a = col("addon").cast("decimal(20,0)")
+        val cc = lit(c).cast("decimal(20,0)")
+        val d = op match {
+          case "both" => abs(a - cc)
+          case "left" => when(col("addon") <= c, cc - a).otherwise(lit(null))
+          case "right" => when(col("addon") >= c, a - cc).otherwise(lit(null))
+          case other => throw new IllegalArgumentException(s"op: $other")
+        }
+        d.as(s"d$i")
+    }
+    val named = base.select(col("docId") +: distCols: _*)
+    val finite = orderKeys.indices.map(i => col(s"d$i").isNotNull).reduce(_ && _)
+    named.where(finite)
+      .orderBy(orderKeys.indices.map(i => col(s"d$i").asc) :+ col("docId").asc: _*)
+      .limit(k)
+      .select(col("docId") +:
+        orderKeys.indices.map(i => col(s"d$i").cast("double").as(s"d$i")): _*)
+  }
+
   /** match AND lo <= addon <= hi — served from the alt-order layout as a
     * bounded ordered stream when available (cost tracks the in-range match
     * count), else filter over all matches.
@@ -588,6 +660,19 @@ final class Searcher(spark: SparkSession, indexDir: String) {
 }
 
 object Searcher {
+  /** One ORDER BY key of a [[Searcher.topKMulti]] scan. */
+  sealed trait OrderKey
+  object OrderKey {
+    /** rank distance `t <=> q` (cover-density, with optional CoverRank
+      * normalization flags)
+      */
+    final case class Rank(method: Int = 0) extends OrderKey
+    /** addon distance `addon <op> c`: op "both" = `<=>`, "left" = `<=|`,
+      * "right" = `|=>`
+      */
+    final case class Addon(c: Long, op: String = "both") extends OrderKey
+  }
+
   /** Plan-cache capacity: past this many distinct query shapes, plans are
     * built uncached (no eviction churn; a workload with >4096 distinct
     * prepared shapes is ad-hoc, not repeated).

@@ -38,6 +38,37 @@ object EventStreams {
   /** A closed session. */
   case class SessionOut(user: String, start: Timestamp, end: Timestamp, events: Int)
 
+  /** Batch twin of [[sessions]] — gap sessionization as gaps-and-islands
+    * window functions over a static event table: a new session starts where
+    * the gap to the previous event (per user) EXCEEDS `gapMs` (an event at
+    * exactly gap distance still extends, matching the streaming merge
+    * predicate `t <= last + gapMs`). Runs as two window passes + one
+    * aggregation, all partitioned on the user key — one shuffle, linear in
+    * events, same plan shape at any scale. With a complete input the output
+    * equals [[sessions]]' for every admissible arrival order
+    * (EventStreamsSpec cross-checks the two on one fixture).
+    * `events`: (userCol, tsCol) rows. Returns (user, start, end, events).
+    */
+  def sessionsBatch(events: DataFrame, userCol: String, tsCol: String,
+                    gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user").orderBy("ts")
+    // microsecond arithmetic: casting a timestamp to long truncates to
+    // seconds, which would mis-bucket sub-second gaps. The inner
+    // cast("timestamp") admits TIMESTAMP_NTZ inputs (parquet default),
+    // interpreting wall clock in the session timezone — run with a fixed-
+    // offset session timezone (UTC) for NTZ data.
+    val micros = unix_micros(col("ts").cast("timestamp"))
+    events.select(col(userCol).as("user"), col(tsCol).as("ts"))
+      .withColumn("brk",
+        when(micros - lag(micros, 1).over(w) > gapMs * 1000L, 1).otherwise(0))
+      .withColumn("sess", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user", "sess")
+      .agg(min("ts").as("start"), max("ts").as("end"),
+        count(lit(1)).as("events"))
+      .drop("sess")
+  }
+
   /** Gap sessionization: a user's session closes after `gapMs` of event-time
     * inactivity. A session is emitted (exactly once, Append) only when the
     * watermark passes `last + gapMs` — never eagerly on the next event —
@@ -72,14 +103,19 @@ object EventStreams {
               open = merged :: far
             }
           }
-          // watermark-final: no admissible event can extend these anymore
-          val (closed, stillOpen) = open.partition(_.last + gapMs <= wm)
+          // watermark-final: no admissible event can extend these anymore.
+          // Strictly < wm: an event with ts == wm is still admitted by the
+          // watermark filter, and ts == last + gapMs extends the session, so
+          // closing at == would emit early and fork a spurious session.
+          val (closed, stillOpen) = open.partition(_.last + gapMs < wm)
           if (stillOpen.isEmpty) state.remove()
           else {
             state.update(OpenSessions(stillOpen))
-            // earliest possible closure; > wm because stillOpen survived the
-            // partition above, so the timestamp is always legal
-            state.setTimeoutTimestamp(stillOpen.map(_.last + gapMs).min)
+            // earliest possible closure; a session at exactly last+gapMs == wm
+            // survives the strict partition, and Spark rejects a timeout at or
+            // before the watermark, so clamp to wm + 1 (closes next advance)
+            state.setTimeoutTimestamp(
+              math.max(stillOpen.map(_.last + gapMs).min, wm + 1))
           }
           closed.sortBy(_.start).iterator.map(s =>
             SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))

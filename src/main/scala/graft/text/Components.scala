@@ -77,6 +77,14 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    // exhausting maxIters without reaching the fixpoint would mean emitting
+    // wrong representatives by construction — surface it instead. With
+    // pointer jumping the label chain halves per round, so 50 iterations
+    // covers diameter ≈ 2^50; hitting this indicates a caller-supplied
+    // maxIters too small for the graph, not a plausible real corpus.
+    require(converged,
+      s"connected components did not converge within $maxIters iterations; " +
+        "raise maxIters (labels would be incorrect)")
     // re-attach isolated vertices (no pair ⇒ they are their own keeper)
     allDocs.select(col(docCol).cast("long").as("doc")).distinct()
       .join(labels, Seq("doc"), "left")
