@@ -12,7 +12,8 @@ import graft.sources.CorpusGen
   * Sections (all keys land in "queries"):
   *   corpus_build      — index-build wall sec over the synthetic code corpus
   *                       (files/sec reported as corpus_files_per_sec)
-  *   query_p50/p95     — BM25 + boolean query latency over that index (sec)
+  *   query_p50_prepared/p95_prepared — plan-cache hot-path latency (sec)
+  *   query_p50_adhoc   — fresh-planned msearch batch, per-query sec
   *   <driver queries>  — each SparkEntry query once, warm
   */
 object Bench {
@@ -89,18 +90,37 @@ object Bench {
     results += "corpus_files_per_sec" -> nFiles / buildSec
 
     // ---- query latency over the corpus index ----
+    // two keys, two meanings (kept separate so a reader diffing rounds
+    // never sees a silent metric redefinition):
+    //   query_p50_prepared — plan-cache hot path: repeated executions of
+    //     already-planned queries (the prepared-statement serving shape)
+    //   query_p50_adhoc    — fresh-planned 6-query msearch batch, per-query
+    //     sec: pays full Catalyst planning + execution every time (the
+    //     basis for throughput-scaling measurements)
     val searcher = new Searcher(spark, idxDir)
     queryLatencies(searcher, 1) // warm: parquet footers, JIT
     val lat = queryLatencies(searcher, 5)
-    results += "query_p50" -> lat(lat.length / 2)
-    results += "query_p95" -> lat(math.min(lat.length - 1, (lat.length * 0.95).toInt))
+    results += "query_p50_prepared" -> lat(lat.length / 2)
+    results += "query_p95_prepared" -> lat(math.min(lat.length - 1, (lat.length * 0.95).toInt))
+    val adhoc = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      queryBatchFresh(searcher)
+      (System.nanoTime() - t0) / 1e9 / 6
+    }.sorted
+    results += "query_p50_adhoc" -> adhoc(adhoc.length / 2)
 
     // ---- wide-prefix union latency (heap union path) ----
     // one-letter prefix over the code corpus: expansion width is in the
-    // hundreds, exercising HeapUnionCursor; warmed once, then timed
+    // hundreds, exercising HeapUnionCursor. Warmed once (footers/JIT),
+    // then timed on a FRESH aggregate Dataset over the cached base plan —
+    // a new Dataset means a new execution of the whole prefix-union
+    // dataflow (repeating an action on one Dataset would only re-run the
+    // final stage over materialized AQE shuffle output, timing stage-reuse
+    // bookkeeping instead of the HeapUnionCursor path)
+    import org.apache.spark.sql.functions.{count => fcount, lit}
     searcher.count("s:* & merge")
     val tp0 = System.nanoTime()
-    searcher.count("s:* & merge")
+    searcher.matchingDocs("s:* & merge").agg(fcount(lit(1))).collect()
     results += "query_prefix_wide" -> (System.nanoTime() - tp0) / 1e9
 
     // ---- driver query suite ----

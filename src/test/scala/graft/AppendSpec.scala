@@ -81,6 +81,32 @@ class AppendSpec extends AnyFunSuite {
     }
   }
 
+  test("size-tiered auto-compaction bounds run counts under 20 appends") {
+    val dir = build(mkDocs(0 until 20))
+    (0 until 20).foreach { i =>
+      IndexBuilder.append(spark,
+        mkDocs(20 + i * 5 until 25 + i * 5).toDF("id", "t", "w"), "id", "t", dir)
+    }
+    val m = SegmentCatalog.load(dir).get
+    // the manifest counter never accumulates past the policy threshold
+    assert(m.appendRuns < IndexBuilder.AutoCompactRuns,
+      s"appendRuns=${m.appendRuns}")
+    // the run count compaction actually bounds: overlapping posting rows
+    // per (shard, term) cell. 'common' appears in every doc, so without
+    // auto-compaction it would carry one micro-run PER APPEND (21 here);
+    // with the policy it is at most the runs since the last rewrite
+    val runsPerCell = spark.read.parquet(SegmentCatalog.postingsDir(dir))
+      .where(col("term") === "common")
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(runsPerCell.nonEmpty &&
+      runsPerCell.max <= IndexBuilder.AutoCompactRuns,
+      s"runs per cell: ${runsPerCell.mkString(",")}")
+    // results identical to a fresh full rebuild of the same logical corpus
+    val full = build(mkDocs(0 until 120))
+    assert(results(dir) == results(full))
+    assert(m.numDocs == 120)
+  }
+
   test("delete removes docs everywhere (vacuum anti-join)") {
     val base = mkDocs(0 until 60)
     val dir = build(base)

@@ -33,6 +33,17 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.size == docs.size)
   }
 
+  test("exhausting maxIters before the fixpoint is surfaced, not silent") {
+    // a chain needs ~log2(diameter) pointer-jumping rounds plus one
+    // confirming round; maxIters = 1 cannot reach the fixpoint
+    val edges = (0 until 8).map(i => (i.toLong, i.toLong + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Components.components(edges.toDF("a", "b"), "a", "b",
+        (0L to 8L).toDF("d"), "d", maxIters = 1)
+    }
+    assert(ex.getMessage.contains("converge"), ex.getMessage)
+  }
+
   test("long chain converges (diameter-bound iterations) and is deterministic") {
     val n = 40
     val edges = (0 until n - 1).map(i => (i.toLong + 1, i.toLong)) // reversed chain

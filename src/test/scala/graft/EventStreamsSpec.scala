@@ -109,6 +109,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionsBatch equals the streaming sessionizer on one fixture") {
+    implicit val sc = spark.sqlContext
+    def msTs(ms: Long) = new Timestamp(Base * 1000L + ms)
+    // boundary cases: a gap of EXACTLY 30 s still extends (strict > splits),
+    // 30.001 s splits, duplicate timestamps count separately
+    val evs: Seq[(Timestamp, String)] = Seq(
+      (msTs(0), "a"), (msTs(5000), "a"), (msTs(35000), "a"),
+      (msTs(65001), "a"),
+      (msTs(1000), "b"), (msTs(1000), "b"),
+      (msTs(500), "d"))
+    val batch = EventStreams.sessionsBatch(
+        evs.toDF("ts", "user"), "user", "ts", 30000L)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(batch.size == 4) // a split once, b and d one each
+
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = EventStreams.sessions(mem.toDS(), gapMs = 30000L,
+      watermark = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("sessb")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs.sortBy(_._1.getTime): _*)
+      q.processAllAvailable()
+      // sentinel batches advance the watermark past every last+gap and let
+      // the event-time timeouts finalize all fixture sessions
+      mem.addData((msTs(500000), "zz"))
+      q.processAllAvailable()
+      mem.addData((msTs(600000), "zz"))
+      q.processAllAvailable()
+      val stream = spark.table("sessb").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getInt(3).toLong))
+        .filterNot(_._1 == "zz").toSet
+      assert(stream == batch, s"stream=$stream\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("late events bridge two sessions; far-late events open their own") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]

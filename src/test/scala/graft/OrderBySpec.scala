@@ -92,6 +92,52 @@ class OrderBySpec extends AnyFunSuite {
     assert(got.toSeq == Seq(371L, 406L, 415L, 428L, 457L, 458L, 484L, 496L), got.mkString(","))
   }
 
+  test("topKMulti: lexicographic (rank, addon, docId) equals brute force; " +
+    "addon key decides equal-rank ties") {
+    import graft.search.Searcher.OrderKey
+    // query t1&t2 matches the two inserted rows (plus any data rows carrying
+    // both lexemes); docs -1 ("t1 t2") and -2 ("t1 t2 t3") have IDENTICAL
+    // cover distance, so only the second key separates them
+    val cTs = parseTs("2016-05-02 02:24:22.326724") // == doc -1's timestamp
+    val addons = searcher.matchingWithAddon("t1&t2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranks = searcher.topKCover("t1&t2", addons.size + 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = addons.keys.toSeq
+      .map(id => (id, ranks(id), math.abs(addons(id) - cTs)))
+      .sortBy { case (id, d1, d2) => (d1, d2, id) }
+    val got = searcher.topKMulti("t1&t2",
+        Seq(OrderKey.Rank(), OrderKey.Addon(cTs, "both")), expect.size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2).toLong))
+    assert(got.toSeq == expect, got.mkString(","))
+    // doc -1 is at addon distance 0 and must precede -2 (120 s away) even
+    // though docId order (-2 < -1) says otherwise: the SECOND key decided
+    val i1 = got.indexWhere(_._1 == -1L)
+    val i2 = got.indexWhere(_._1 == -2L)
+    assert(i1 >= 0 && i2 >= 0 && i1 < i2, got.mkString(","))
+    assert(got(i1)._2 == got(i2)._2) // the tie the addon key broke
+  }
+
+  test("topKMulti: addon-first ordering equals brute force") {
+    import graft.search.Searcher.OrderKey
+    val addons = searcher.matchingWithAddon("wr&qh").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranks = searcher.topKCover("wr&qh", addons.size + 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = addons.keys.toSeq
+      .map(id => (id, math.abs(addons(id) - C), ranks(id)))
+      .sortBy { case (id, d1, d2) => (d1, d2, id) }.take(5)
+      .map { case (id, d1, d2) => (id, d1.toDouble, d2) }
+    val got = searcher.topKMulti("wr&qh",
+        Seq(OrderKey.Addon(C, "both"), OrderKey.Rank()), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == expect, got.mkString(","))
+    // first key agrees with the single-key addon scan
+    val single = searcher.topKAddon("wr&qh", C, "both", 5).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got.map(_._1).toSeq == single)
+  }
+
   test("addon values round-trip exactly (µs timestamps in payload)") {
     import org.apache.spark.sql.functions._
     val expect = rows.map(r => r._1 -> r._3).toMap

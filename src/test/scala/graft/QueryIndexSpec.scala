@@ -77,6 +77,30 @@ class QueryIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("10k prefix operands stay on equi-join plans (no nested-loop blowup)") {
+    // every stored query is a prefix operand: the probe must expand corpus
+    // terms per distinct prefix LENGTH and equi-join on the substring —
+    // a startsWith theta-join here would be a BroadcastNestedLoopJoin over
+    // (corpus tokens × 10k prefixes)
+    val qs = spark.range(10000).selectExpr("id", "concat('p', id, ':*') AS q")
+    val built = QueryIndex.build(spark, qs, "id", "q")
+    val docs = Seq((1L, "p17 p4242x zz"), (2L, "q1")).toDF("doc_id", "text")
+    val res = QueryIndex.probe(spark, built, docs, "doc_id", "text")
+    // two nested-loop nodes are legitimate, both over tiny broadcast sides
+    // fixed by construction: docs × empty-matchers and term-dict × distinct
+    // prefix LENGTHS. The prefix OPERANDS themselves must never ride a
+    // nested loop: no StartsWith join condition and no third BNLJ node
+    val plan = res.queryExecution.executedPlan.toString
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"$bnlj nested-loop joins in:\n${plan.take(3000)}")
+    assert(!plan.contains("StartsWith"), plan.take(3000))
+    // token p17 matches p1:*, p17:*; p4242x matches p4:*, p42:*, p424:*,
+    // p4242:*; zz and doc 2 match nothing
+    val got = res.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got == Map(1L -> Set(1L, 17L, 4L, 42L, 424L, 4242L)), got)
+  }
+
   test("prefix operands in stored queries") {
     val built = QueryIndex.build(spark, Seq(1L -> "al:* & beta").toDF("id", "q"))
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "alto beta x")).toDF("doc_id", "text")
