@@ -17,7 +17,8 @@ import graft.sources.CorpusGen
 object ScalingBench {
 
   private case class Run(cores: Int, buildSec: Double, filesPerSec: Double,
-                         p50: Double, p95: Double, qps: Double, batchQps: Double)
+                         p50: Double, p95: Double, qps: Double,
+                         fusedQps: Double, branchQps: Double)
 
   /** best-of-`trials` build + concurrent-query throughput at one
     * parallelism level. Multiple trials damp noisy-neighbor variance in
@@ -76,37 +77,56 @@ object ScalingBench {
         System.err.println(f"[scaling] cores=$cores qtrial $qt: $totalQueries queries in $qSec%.1fs")
         bestQps = math.max(bestQps, totalQueries / qSec)
       }
-      // ad-hoc (msearch) throughput: each client plans a FRESH 6-query
-      // union and executes it in full. Fresh Dataset per batch means no
+      // ad-hoc (msearch) throughput: each client plans a FRESH batch per
+      // dispatch and executes it in full. Fresh Dataset per batch means no
       // cross-execution AQE stage reuse can serve cached shuffle outputs
       // (repeated actions on ONE cached Dataset reuse its materialized
       // query stages — milliseconds — which measures the cache, not the
       // dataflow; QueryProbe demonstrates both regimes). Branch plans and
-      // topKBm25's stats lookup are warm prepared-statement state (one-time
+      // the term-stats memo are warm prepared-statement state (one-time
       // per level, identical at both levels, outside the timed trials);
-      // what each batch pays fresh is union planning + the FULL executor
+      // what each batch pays fresh is batch planning + the FULL executor
       // dataflow — the part added executors parallelize.
-      Bench.queryBatchFresh(searcher) // JIT/footers warm; result discarded
-      var bestBatchQps = 0.0
-      for (bt <- 1 to 2) {
-        val tb0 = System.nanoTime()
-        val bthreads = (1 to clients).map { c =>
-          val th = new Thread(() => {
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"bclient-$c")
-            Bench.queryBatchFresh(searcher)
-            ()
-          })
-          th.start(); th
+      //
+      // Client count scales WITH cores (constant offered concurrency per
+      // core): a throughput-scaling measurement at 4N cores must offer
+      // 4N-proportional load — with clients fixed below capacity, the high
+      // level idles whenever every client is inside its serial per-batch
+      // driver phase, and the reading measures client starvation, not the
+      // engine. Two dispatch shapes are measured: FUSED (Searcher.msearch —
+      // one scan + one shuffle per batch, one planned subtree) and
+      // PER-BRANCH (six independently planned subtrees unioned, the shape
+      // before msearch existed), kept for comparison.
+      val bClients = math.max(2, cores)
+      val perClientBatches = 3
+      Bench.queryBatchFused(searcher) // JIT/stats-memo warm; result discarded
+      Bench.queryBatchFresh(searcher)
+      def adhocPhase(tag: String, runOne: () => Unit): Double = {
+        var best = 0.0
+        for (bt <- 1 to 2) {
+          val tb0 = System.nanoTime()
+          val bthreads = (1 to bClients).map { c =>
+            val th = new Thread(() => {
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"$tag-$c")
+              var i = 0
+              while (i < perClientBatches) { runOne(); i += 1 }
+            })
+            th.start(); th
+          }
+          bthreads.foreach(_.join())
+          val bSec = (System.nanoTime() - tb0) / 1e9
+          val bq = bClients * perClientBatches * 6
+          System.err.println(
+            f"[scaling] cores=$cores $tag trial $bt: $bq ad-hoc queries in $bSec%.1fs")
+          best = math.max(best, bq / bSec)
         }
-        bthreads.foreach(_.join())
-        val bSec = (System.nanoTime() - tb0) / 1e9
-        val bq = clients * 6
-        System.err.println(f"[scaling] cores=$cores btrial $bt: $bq ad-hoc batched queries in $bSec%.1fs")
-        bestBatchQps = math.max(bestBatchQps, bq / bSec)
+        best
       }
+      val fusedQps = adhocPhase("bfused", () => { Bench.queryBatchFused(searcher); () })
+      val branchQps = adhocPhase("bbranch", () => { Bench.queryBatchFresh(searcher); () })
       Run(cores, bestBuild, nFiles / bestBuild,
         lat(lat.length / 2), lat(math.min(lat.length - 1, (lat.length * 0.95).toInt)),
-        bestQps, bestBatchQps)
+        bestQps, fusedQps, branchQps)
     } finally spark.stop()
   }
 
@@ -120,7 +140,8 @@ object ScalingBench {
     val r32 = runAt(hiN, nFiles, nShards, trials)
     val buildEff = r32.filesPerSec / (4.0 * r8.filesPerSec)
     val queryEff = r32.qps / (4.0 * r8.qps)
-    val batchEff = r32.batchQps / (4.0 * r8.batchQps)
+    val fusedEff = r32.fusedQps / (4.0 * r8.fusedQps)
+    val branchEff = r32.branchQps / (4.0 * r8.branchQps)
 
     val md =
       s"""# BENCH — measured numbers (round snapshot)
@@ -158,23 +179,33 @@ object ScalingBench {
          |
          |## Ad-hoc (msearch) query throughput — the query-side scaling number
          |
-         |Each client fresh-plans the 6-query set as ONE union job and
-         |executes it in full: a new Dataset per batch makes cross-execution
-         |stage reuse impossible, so every batch pays fresh union planning
-         |and FULL executor work (verified with graft.QueryProbe: a repeated
-         |action on a cached Dataset takes ~20 ms at either core count —
-         |measuring the cache — while a fresh-planned batch re-runs the whole
-         |dataflow). Branch plans + the term-stats lookup are warm
-         |prepared-statement state, one-time per level and identical at both
-         |levels. Dispatch and planning amortize across the 6-query batch,
-         |which is exactly how a serving tier submits concurrent work.
+         |Each client fresh-plans its batch per dispatch and executes it in
+         |full: a new Dataset per batch makes cross-execution stage reuse
+         |impossible, so every batch pays fresh planning and FULL executor
+         |work (verified with graft.QueryProbe: a repeated action on a cached
+         |Dataset takes ~20 ms at either core count — measuring the cache —
+         |while a fresh-planned batch re-runs the whole dataflow). Branch
+         |plans + the term-stats memo are warm prepared-statement state,
+         |one-time per level and identical at both levels. Client count
+         |scales WITH cores (constant offered concurrency per core: ${r8.cores}
+         |clients at ${r8.cores} cores, ${r32.cores} at ${r32.cores}) — offering a fixed client
+         |count at 4N cores measures client starvation during serial
+         |per-batch driver phases, not engine capacity. Each client issues 3
+         |consecutive 6-query batches per trial.
          |
-         || cores | ad-hoc batched q/s |
-         ||---|---|
-         || ${r8.cores}  | ${f"${r8.batchQps}%.2f"} |
-         || ${r32.cores} | ${f"${r32.batchQps}%.2f"} |
+         |FUSED = Searcher.msearch: the whole heterogeneous batch runs as ONE
+         |postings scan + ONE shuffle (shared-exchange kernel, per-spec
+         |top-k pruning) with one planned subtree per batch — the serving
+         |dispatch shape. PER-BRANCH = six independently planned subtrees
+         |unioned (the shape before msearch existed), for comparison.
          |
-         |**Ad-hoc query throughput scaling efficiency (N → 4N): ${f"$batchEff%.3f"}**
+         || cores | fused q/s | per-branch q/s |
+         ||---|---|---|
+         || ${r8.cores}  | ${f"${r8.fusedQps}%.2f"} | ${f"${r8.branchQps}%.2f"} |
+         || ${r32.cores} | ${f"${r32.fusedQps}%.2f"} | ${f"${r32.branchQps}%.2f"} |
+         |
+         |**Ad-hoc query throughput scaling efficiency (N → 4N): fused
+         |${f"$fusedEff%.3f"}, per-branch ${f"$branchEff%.3f"}**
          |(target ≥ 0.8 per BASELINE.json north rule)
          |
          |## Method / host calibration

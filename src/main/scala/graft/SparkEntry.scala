@@ -335,6 +335,29 @@ object SparkEntry {
       val r = IndexCache.searcher(s, dir).count("win:* & sort")
       s.range(1).select(lit(r).as("cnt"))
     }),
+    "ft_msearch" -> ((s, dir) => {
+      // FUSED multi-search: a heterogeneous 3-query batch (boolean match +
+      // BM25 top-k + cover-density top-k) evaluated in ONE postings scan +
+      // ONE shuffle (Searcher.msearch; the shared-scan serving shape).
+      // Slot 1 follows ft_topk_bm25's rounding-tie discipline: over-fetch
+      // 20, round to 4dp, re-rank, keep 10.
+      import graft.search.Searcher.MsearchSpec._
+      val m = IndexCache.searcher(s, dir).msearch(Seq(
+        Match("order & merge"), Bm25(Seq("merge", "window", "vector"), 20),
+        Cover("order & window", 10)))
+      val s0 = m.where(col("qi") === 0)
+        .select(col("qi"), col("docId"), lit(0.0).as("score"))
+      val s1 = m.where(col("qi") === 1)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("docId")).limit(10)
+        .select(col("qi"), col("docId"), col("score"))
+      val s2 = m.where(col("qi") === 2)
+        .withColumn("score", round(col("score"), 4))
+        .select(col("qi"), col("docId"), col("score"))
+      s0.union(s1).union(s2)
+        .select(col("qi"), col("docId").as("doc_id"), col("score"))
+        .orderBy("qi", "doc_id")
+    }),
     "ft_topk_bm25" -> ((s, dir) => {
       IndexCache.searcher(s, dir).topKBm25(Seq("merge", "window", "vector"), 20)
         .withColumn("score", round(col("score"), 4))
@@ -993,6 +1016,43 @@ object SparkEntry {
         |  CAST(abs(dd.n_chars - 600) AS BIGINT) AS dist2
         |FROM dists s JOIN documents dd ON dd.doc_id = s.doc_id
         |ORDER BY s.d, abs(dd.n_chars - 600), s.doc_id LIMIT 10""".stripMargin),
+    // fused msearch: each slot replays its solo oracle, tagged by qi
+    "ft_msearch" -> (ToksCte +
+      """,
+        |m0 AS (SELECT doc_id FROM toks WHERE term='order'
+        |       INTERSECT SELECT doc_id FROM toks WHERE term='merge'),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1,2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |           (SELECT count(*) FROM toks)*1.0/(SELECT count(*) FROM documents) AS avgl),
+        |bscores AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1+(n-df+0.5)/(df+0.5)) * (tf*2.2)/(tf+1.2*(0.25+0.75*len/avgl))),4) AS score
+        |  FROM tf JOIN df USING(term) JOIN lens ON lens.doc_id=tf.doc_id CROSS JOIN consts
+        |  GROUP BY tf.doc_id),
+        |b10 AS (SELECT doc_id, score FROM bscores ORDER BY score DESC, doc_id LIMIT 10),
+        |occ AS (SELECT doc_id, pos, term FROM toks WHERE term IN ('order','window')),
+        |seq AS (SELECT doc_id, pos, term,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS q,
+        |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm
+        |        FROM occ),
+        |covers AS (SELECT doc_id, pos AS p, q, term AS t1 FROM seq
+        |           WHERE nterm IS NOT NULL AND nterm <> term),
+        |numbered AS (SELECT doc_id, p, q, t1,
+        |             row_number() OVER (PARTITION BY doc_id, t1 ORDER BY p) AS l
+        |             FROM covers),
+        |cscores AS (SELECT doc_id, sum(0.2/(q - p)/(l*l)/1.64493406685) AS score
+        |            FROM numbered GROUP BY doc_id),
+        |c10 AS (SELECT doc_id,
+        |          CAST(CAST(1.0 AS REAL)/CAST(score AS REAL) AS DOUBLE) AS d
+        |        FROM cscores ORDER BY d, doc_id LIMIT 10)
+        |SELECT 0 AS qi, doc_id, 0.0 AS score FROM m0
+        |UNION ALL SELECT 1, doc_id, score FROM b10
+        |UNION ALL SELECT 2, doc_id, round(d, 4) FROM c10
+        |ORDER BY qi, doc_id""".stripMargin),
     "ft_topk_bm25" -> (ToksCte +
       """,
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks

@@ -522,12 +522,30 @@ final class Searcher(spark: SparkSession, indexDir: String) {
   def topKBm25(terms: Seq[String], k: Int): DataFrame =
     cached("bm25" + Searcher.key(terms :+ k.toString: _*))(topKBm25U(terms, k))
 
+  /** Per-searcher term-stats memo: (df, maxTf) per key, absent terms cached
+    * as (0, 0). A Searcher is pinned to one immutable snapshot, so stats
+    * never go stale; once a term is seen, no further plan construction pays
+    * a driver-side stats job for it — the fixed per-query driver cost the
+    * ad-hoc serving path must not re-pay per batch.
+    */
+  private val termStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+
+  /** stats for already-keyOf'd terms; absent terms are dropped. */
+  private def statsFor(keys: Seq[String]): Map[String, (Long, Int)] = {
+    val missing = keys.filterNot(termStatsCache.containsKey)
+    if (missing.nonEmpty) {
+      val rows = statsDF.where(col("term").isin(missing: _*))
+        .select("term", "df", "maxTf").collect()
+      val found = rows.map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+      missing.foreach(t => termStatsCache.put(t, found.getOrElse(t, (0L, 0))))
+    }
+    keys.map(t => t -> termStatsCache.get(t)).toMap.filter(_._2._1 > 0L)
+  }
+
   private def topKBm25U(terms: Seq[String], k: Int): DataFrame = {
     val distinct = terms.distinct.map(keyOf)
-    val statRows = statsDF
-      .where(col("term").isin(distinct: _*))
-      .select("term", "df", "maxTf").collect()
-    val stats = statRows.map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val stats = statsFor(distinct)
     val present = distinct.filter(stats.contains)
     if (present.isEmpty) return spark.emptyDataFrame
       .select(lit(0L).as("docId"), lit(0.0).as("score")).limit(0)
@@ -611,6 +629,127 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       }.reduce(_.union(_))
     }
 
+  /** FUSED multi-search: evaluate a heterogeneous batch of queries in ONE
+    * scan + ONE shuffle (the shared-scan msearch a serving tier runs when
+    * individual queries are millisecond-scale). The union of all specs'
+    * term predicates is pushed to a single postings scan; each shard's rows
+    * buffer once and every spec's kernel (boolean match / WAND BM25 /
+    * cover-rank, all with their usual per-shard pruning) replays them —
+    * extra terms from sibling specs are invisible to a kernel because
+    * cursor construction matches exactly its own keys. Global per-spec
+    * top-k then runs over ONLY the shard-pruned rows of bounded specs
+    * (≤ k·nShards rows each): a shared repartition barrier lets both the
+    * bounded and unbounded branches reuse one kernel execution, and match
+    * specs never pass through a sort. Per-batch driver cost is one plan
+    * over one subtree instead of N — the serial component that would
+    * otherwise bound msearch throughput at any cluster size.
+    * Returns (qi, docId, score): score = 0.0 for Match, BM25 score for
+    * Bm25 (top-k, higher better), cover distance for Cover (top-k, lower
+    * better). Void specs contribute no rows; full-scan-only specs fall
+    * back to their solo plans, unioned in.
+    */
+  def msearch(specs: Seq[Searcher.MsearchSpec]): DataFrame =
+    cached("msearch" + Searcher.key(specs.map(_.toString): _*))(msearchPlan(specs))
+
+  /** Uncached twin of [[msearch]] — ad-hoc paths that must pay fresh
+    * planning (and benchmarks that must measure it) build a new plan here.
+    */
+  def msearchPlan(specs: Seq[Searcher.MsearchSpec]): DataFrame = {
+    import Searcher.MsearchSpec._
+    val fused = scala.collection.mutable.ArrayBuffer.empty[Searcher.FusedSpec]
+    val fallback = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    specs.zipWithIndex.foreach { case (spec, qi) =>
+      spec match {
+        case Match(q) =>
+          val cq = compile(q)
+          if (SearchKernel.isVoid(cq)) ()
+          else if (SearchKernel.needsFullScan(cq))
+            fallback += matchingDocsC(cq)
+              .select(lit(qi).as("qi"), col("docId"), lit(0.0).as("score"))
+          else fused += Searcher.FusedSpec(qi, 0, cq, SearchKernel.keySpecs(cq),
+            null, null, null, 0)
+        case Cover(q, k) =>
+          val cq = compile(q)
+          if (SearchKernel.isVoid(cq)) ()
+          else if (SearchKernel.needsFullScan(cq))
+            fallback += topKCoverC(cq, k, matchOnly = true, 0, null, null)
+              .select(lit(qi).as("qi"), col("docId"), col("distance").as("score"))
+          else fused += Searcher.FusedSpec(qi, 1, cq, SearchKernel.keySpecs(cq),
+            null, null, null, k)
+        case Bm25(terms, k) =>
+          val distinct = terms.distinct.map(keyOf)
+          val stats = statsFor(distinct)
+          val present = distinct.filter(stats.contains).toArray
+          if (present.nonEmpty) {
+            val dfArr = present.map(t => stats(t)._1)
+            val ubArr = present.indices.map(i =>
+              graft.query.Bm25.maxTermScore(stats(present(i))._2, dfArr(i),
+                meta.avgLen, meta.numDocs)).toArray
+            fused += Searcher.FusedSpec(qi, 2, null, null, present, dfArr, ubArr, k)
+          }
+      }
+    }
+
+    val fusedParts: Seq[DataFrame] =
+      if (fused.isEmpty) Nil
+      else {
+        val fs = fused.toArray
+        // ONE predicate over the union of every spec's terms: both kernel
+        // branches below share an IDENTICAL scan+shuffle subtree, which
+        // Spark's exchange reuse executes once (MsearchFusedSpec asserts
+        // the ReusedExchange). Each branch's kernel then evaluates only its
+        // own specs over the buffered shard rows — no duplicated kernel
+        // work, and sibling specs' terms are invisible to a kernel because
+        // cursor construction matches exactly its own keys.
+        val pred = fs.map { f =>
+          if (f.mode == 2) col("term").isin(f.terms.toSeq: _*)
+          else termPredicate(f.cq)
+        }.reduce(_ || _)
+        val nDocs = meta.numDocs
+        val avgLen = meta.avgLen
+        val base = postings.where(pred).groupByKey(_.shard)
+        def kernel(specsArr: Array[Searcher.FusedSpec]): DataFrame =
+          base.flatMapGroups { (shard: Int, it: Iterator[PostingRow]) =>
+            val rows = it.toArray
+            specsArr.iterator.flatMap { f =>
+              f.mode match {
+                case 0 => SearchKernel.matchShard(f.cq, f.keys, rows.iterator,
+                    score = false, k = 0)
+                  .map(t => (f.qi, t._1, 0.0, 0.0))
+                case 1 => SearchKernel.matchShard(f.cq, f.keys, rows.iterator,
+                    score = true, k = f.k)
+                  .map(t => (f.qi, t._1, t._2, t._2))
+                case _ => SearchKernel.wandShard(f.terms, f.dfs, f.ubs, nDocs,
+                    avgLen, f.k, rows.iterator)
+                  .map { case (id, s) => (f.qi, id, s, -s) } // sort asc = score desc
+              }
+            }
+          }.toDF("qi", "docId", "score", "sort")
+        val bounded = fs.filter(_.mode != 0)
+        val unbounded = fs.filter(_.mode == 0)
+        // bounded specs: per-shard heaps already pruned to ≤ k·nShards rows
+        // each, so the global top-k window's exchange+sort touch only those;
+        // match specs stream through their own branch, never sorted
+        val boundedPart =
+          if (bounded.isEmpty) None
+          else {
+            val kPairs = bounded.flatMap(f => Seq(lit(f.qi), lit(f.k))).toSeq
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("qi").orderBy(col("sort").asc, col("docId").asc)
+            Some(kernel(bounded)
+              .withColumn("rank", row_number().over(w))
+              .where(col("rank") <= element_at(map(kPairs: _*), col("qi")))
+              .select("qi", "docId", "score"))
+          }
+        val unboundedPart =
+          if (unbounded.isEmpty) None
+          else Some(kernel(unbounded).select("qi", "docId", "score"))
+        (boundedPart ++ unboundedPart).toSeq
+      }
+    (fusedParts ++ fallback.toSeq).reduceOption(_ union _)
+      .getOrElse(emptyBatch("docId" -> "long", "score" -> "double"))
+  }
+
   /** Decoded postings of one term: (doc_id, tf) — the bitmap-scan shape
     * plus payload-derived tf; used for verification and as a building
     * block for joins back to the corpus.
@@ -660,6 +799,24 @@ final class Searcher(spark: SparkSession, indexDir: String) {
 }
 
 object Searcher {
+  /** One query of a fused [[Searcher.msearch]] batch. */
+  sealed trait MsearchSpec
+  object MsearchSpec {
+    /** unordered boolean match: every docId satisfying the tsquery */
+    final case class Match(query: String) extends MsearchSpec
+    /** BM25 disjunctive top-k over a bag of terms (higher score better) */
+    final case class Bm25(terms: Seq[String], k: Int) extends MsearchSpec
+    /** cover-density ranked top-k (score = distance, lower better) */
+    final case class Cover(query: String, k: Int) extends MsearchSpec
+  }
+
+  /** Compiled fused-batch slot (task-closure payload: no session refs).
+    * mode 0 = match, 1 = cover top-k, 2 = BM25 WAND top-k.
+    */
+  private[search] final case class FusedSpec(
+      qi: Int, mode: Int, cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
+      terms: Array[String], dfs: Array[Long], ubs: Array[Double], k: Int)
+
   /** One ORDER BY key of a [[Searcher.topKMulti]] scan. */
   sealed trait OrderKey
   object OrderKey {

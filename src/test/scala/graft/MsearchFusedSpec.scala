@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.IndexBuilder
+import graft.search.Searcher
+
+/** Fused multi-search (one scan + one shuffle for a heterogeneous query
+  * batch): every slot must return exactly its solo query's rows/scores,
+  * including prefix expansion, void slots, and full-scan fallbacks riding
+  * the same batch; the fused kernel subtree must execute once (shared
+  * exchange), not once per output branch.
+  */
+class MsearchFusedSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val nDocs = 2500
+  private def text(i: Int): String = {
+    val sb = new StringBuilder
+    sb.append("common ")
+    if (i % 2 == 0) sb.append("even ")
+    if (i % 3 == 0) sb.append("triple word ")
+    if (i % 7 == 0) sb.append("rare7 ")
+    if (i % 97 == 0) sb.append("veryrare mid veryrare ")
+    if (i % 5 == 0) sb.append("prefixed" + (i % 4) + " ")
+    sb.append(s"tail${i % 13}")
+    sb.toString
+  }
+
+  private lazy val searcher: Searcher = {
+    val d = java.nio.file.Files.createTempDirectory("msearchidx").toString
+    val docs = (0 until nDocs).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    IndexBuilder.build(spark, docs, "doc_id", "text", d,
+      IndexBuilder.Params(nShards = 4, blockSize = 64))
+    new Searcher(spark, d)
+  }
+
+  test("every fused slot equals its solo query") {
+    import Searcher.MsearchSpec._
+    val specs = Seq(
+      Match("even & triple"),
+      Bm25(Seq("rare7", "veryrare", "tail3"), 7),
+      Cover("common & rare7", 5),
+      Match("prefixed:* & even"),
+      Match("!rare7"), // pure negation: full-scan fallback unioned in
+      Match(""))       // void slot: contributes nothing
+    val got = searcher.msearch(specs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+
+    def soloIds(q: String): Set[Long] =
+      searcher.matchingDocs(q).collect().map(_.getLong(0)).toSet
+    assert(got(0).map(_._2).toSet == soloIds("even & triple"))
+    assert(got(0).forall(_._3 == 0.0))
+    assert(got(3).map(_._2).toSet == soloIds("prefixed:* & even"))
+    assert(got(4).map(_._2).toSet == soloIds("!rare7"))
+    assert(!got.contains(5))
+
+    val soloBm25 = searcher.topKBm25(Seq("rare7", "veryrare", "tail3"), 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got(1).map(t => (t._2, t._3)).toSet == soloBm25)
+
+    val soloCover = searcher.topKCover("common & rare7", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got(2).map(t => (t._2, t._3)).toSet == soloCover)
+  }
+
+  test("fused kernel executes once: shared exchange reused across branches") {
+    import Searcher.MsearchSpec._
+    val df = searcher.msearchPlan(Seq(
+      Match("even & triple"), Bm25(Seq("rare7", "veryrare"), 3),
+      Cover("common & rare7", 4)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    println("[msearch plan]\n" + plan)
+    assert(plan.contains("Reused"), plan.take(4000))
+  }
+}
