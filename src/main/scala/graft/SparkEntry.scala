@@ -319,6 +319,15 @@ object SparkEntry {
       val r = IndexCache.searcher(s, dir).count("!merge & order")
       s.range(1).select(lit(r).as("cnt"))
     }),
+    "ft_count_fused" -> ((s, dir) => {
+      // fused count-serving: per-shard PARTIAL counts, one scan + one
+      // shuffle of nShards×batch rows — match sets never shuffle
+      // (Searcher.msearchCounts); slot 2 is an absent term proving the
+      // zero-count spine
+      IndexCache.searcher(s, dir)
+        .msearchCounts(Seq("order & merge", "win:* & sort", "zzzabsent"))
+        .orderBy("qi")
+    }),
     "ft_match_ids" -> ((s, dir) => {
       IndexCache.searcher(s, dir).matchingDocs("window & (hash | sort)")
         .select(col("docId").as("doc_id")).orderBy("doc_id")
@@ -950,6 +959,17 @@ object SparkEntry {
       """SELECT count(*) AS cnt FROM (
         |  SELECT DISTINCT doc_id FROM toks WHERE term='order'
         |  EXCEPT SELECT DISTINCT doc_id FROM toks WHERE term='merge') x""".stripMargin),
+    "ft_count_fused" -> (ToksCte +
+      """SELECT 0 AS qi, count(*) AS cnt FROM (
+        |  SELECT doc_id FROM toks WHERE term='order'
+        |  INTERSECT SELECT doc_id FROM toks WHERE term='merge') x
+        |UNION ALL
+        |SELECT 1, count(*) FROM (
+        |  SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'win%'
+        |  INTERSECT SELECT DISTINCT doc_id FROM toks WHERE term='sort') x
+        |UNION ALL
+        |SELECT 2, 0
+        |ORDER BY qi""".stripMargin),
     "ft_match_ids" -> (ToksCte +
       """SELECT doc_id FROM (
         |  SELECT doc_id FROM toks WHERE term='window'

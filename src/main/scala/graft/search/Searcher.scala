@@ -750,6 +750,59 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       .getOrElse(emptyBatch("docId" -> "long", "score" -> "double"))
   }
 
+  /** Fused count-serving: match counts for a batch of tsquery strings in
+    * ONE scan + ONE shuffle of per-shard PARTIAL counts — the full match
+    * sets never leave their shard (map-side aggregation taken to its
+    * limit: the kernel itself collapses each (spec, shard) to one long).
+    * Shuffled rows = nShards × batch size regardless of match counts,
+    * which is what keeps count-heavy serving scaling when individual
+    * matches number in the millions. Void queries count 0 (the qi spine
+    * guarantees a row per slot); full-scan-only queries fall back to their
+    * solo plans, union-aggregated in. Returns (qi, cnt).
+    */
+  def msearchCounts(queryStrs: Seq[String]): DataFrame =
+    cached("msearchC" + Searcher.key(queryStrs: _*))(msearchCountsPlan(queryStrs))
+
+  /** Uncached twin of [[msearchCounts]] (fresh-planned ad-hoc path). */
+  def msearchCountsPlan(queryStrs: Seq[String]): DataFrame = {
+    val fusedSpecs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, CompiledQuery, Array[SearchKernel.KeySpec])]
+    val fallback = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    queryStrs.zipWithIndex.foreach { case (q, qi) =>
+      val cq = compile(q)
+      if (SearchKernel.isVoid(cq)) () // 0 via the spine
+      else if (SearchKernel.needsFullScan(cq))
+        fallback += matchingDocsC(cq)
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("partial"))
+          .select(lit(qi).as("qi"), col("partial"))
+      else fusedSpecs += ((qi, cq, SearchKernel.keySpecs(cq)))
+    }
+    // spine: every slot surfaces a row even with zero matches
+    val spine = spark.range(queryStrs.size)
+      .select(col("id").cast("int").as("qi"), lit(0L).as("partial"))
+    val fusedPart =
+      if (fusedSpecs.isEmpty) None
+      else {
+        val fs = fusedSpecs.toArray
+        val pred = fs.map(f => termPredicate(f._2)).reduce(_ || _)
+        Some(postings.where(pred)
+          .groupByKey(_.shard)
+          .flatMapGroups { (shard: Int, it: Iterator[PostingRow]) =>
+            val rows = it.toArray
+            fs.iterator.map { case (qi, cq, keys) =>
+              var n = 0L
+              val m = SearchKernel.matchShard(cq, keys, rows.iterator,
+                score = false, k = 0)
+              while (m.hasNext) { m.next(); n += 1 }
+              (qi, n)
+            }
+          }.toDF("qi", "partial"))
+      }
+    (Seq(spine) ++ fusedPart.toSeq ++ fallback.toSeq).reduce(_ union _)
+      .groupBy("qi")
+      .agg(sum("partial").as("cnt"))
+  }
+
   /** Decoded postings of one term: (doc_id, tf) — the bitmap-scan shape
     * plus payload-derived tf; used for verification and as a building
     * block for joins back to the corpus.

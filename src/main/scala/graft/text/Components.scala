@@ -90,4 +90,74 @@ object Components {
       .join(labels, Seq("doc"), "left")
       .select(col("doc").as("doc_id"), coalesce(col("rep"), col("doc")).as("rep"))
   }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", Algorithm 2) —
+    * the extreme-scale formulation: instead of propagating labels along
+    * original edges (O(diameter) rounds over a fixed edge set), each round
+    * REWRITES the edge set toward a star per component, converging in
+    * O(log² n) rounds independent of diameter, with per-round work
+    * proportional to the current edge count (which only shrinks).
+    * Per round:
+    *   large-star: every node u connects its LARGER neighbors to
+    *     m(u) = min(Γ(u) ∪ u);
+    *   small-star: every node u (edges oriented toward the smaller
+    *     endpoint) connects its not-larger neighbors and itself to m(u).
+    * Both are one groupBy(min) + one equi-join — the same shuffle shape as
+    * a round of [[components]]. Fixpoint when the canonical edge set stops
+    * changing (checked exactly via a symmetric difference — one extra
+    * join-sized job per round, bounded by the O(log² n) round count).
+    * Returns (doc_id, rep) with rep = component minimum — identical output
+    * to [[components]] (ComponentsSpec asserts equivalence), so the two are
+    * drop-in interchangeable; prefer this one when component diameters are
+    * unknown or adversarial (long duplication chains).
+    */
+  def componentsStar(edges: DataFrame, aCol: String, bCol: String,
+                     allDocs: DataFrame, docCol: String,
+                     maxIters: Int = 50): DataFrame = {
+    val e0 = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    var cur = e0.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    var converged = cur.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star over the symmetrized neighborhood of u
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = sym.groupBy("u")
+        .agg(least(min(col("v")), min(col("u"))).as("m"))
+      val afterLarge = sym.join(mLarge, "u")
+        .where(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("u"),
+          greatest(col("v"), col("m")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star: orient toward the smaller endpoint (v <= u)
+      val oriented = afterLarge.select(col("v").as("u"), col("u").as("v"))
+      val mSmall = oriented.groupBy("u")
+        .agg(least(min(col("v")), min(col("u"))).as("m"))
+      val next = oriented.join(mSmall, "u")
+        .select(col("v"), col("m")) // connect each neighbor to m
+        .union(mSmall.select(col("u").as("v"), col("m"))) // and u itself
+        .where(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("u"),
+          greatest(col("v"), col("m")).as("v"))
+        .distinct().localCheckpoint(true)
+      // exact fixpoint test: canonical edge sets equal (both directions of
+      // the symmetric difference must be empty)
+      converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      cur = next
+      iter += 1
+    }
+    require(converged,
+      s"componentsStar did not converge within $maxIters iterations; " +
+        "raise maxIters (labels would be incorrect)")
+    // at the fixpoint every component is a star centered on its minimum:
+    // rep(v) = its (unique) smaller neighbor, rep(center) = itself
+    val reps = cur.select(col("v").as("doc"), col("u").as("rep"))
+    allDocs.select(col(docCol).cast("long").as("doc")).distinct()
+      .join(reps, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), coalesce(col("rep"), col("doc")).as("rep"))
+  }
 }

@@ -33,6 +33,40 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.size == docs.size)
   }
 
+  private def runStar(edges: Seq[(Long, Long)], docs: Seq[Long]): Map[Long, Long] =
+    Components.componentsStar(edges.toDF("a", "b"), "a", "b", docs.toDF("d"), "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("large-star/small-star equals min-label propagation on every shape") {
+    val cases: Seq[(Seq[(Long, Long)], Seq[Long])] = Seq(
+      // chain, cycle, star, reversed edge, isolated vertex
+      (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (12L, 10L),
+        (20L, 21L), (20L, 22L), (20L, 23L), (31L, 30L)),
+        (1L to 4L) ++ Seq(10L, 11L, 12L) ++ (20L to 23L) ++ Seq(30L, 31L, 99L)),
+      // long chain: diameter stress (the case star formulations exist for)
+      ((0 until 60).map(i => (i.toLong + 1, i.toLong)), (0L to 60L).toSeq),
+      // deterministic pseudo-random graph with several components
+      ({
+        val rnd = new scala.util.Random(42)
+        (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+          .filter(e => e._1 != e._2)
+      }, (0L until 60L).toSeq),
+      // empty edge set
+      (Seq.empty, Seq(5L, 6L)))
+    cases.foreach { case (edges, docs) =>
+      assert(runStar(edges, docs) == run(edges, docs), s"edges=$edges")
+    }
+  }
+
+  test("componentsStar surfaces non-convergence at tiny maxIters") {
+    val edges = (0 until 32).map(i => (i.toLong, i.toLong + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Components.componentsStar(edges.toDF("a", "b"), "a", "b",
+        (0L to 32L).toDF("d"), "d", maxIters = 1)
+    }
+    assert(ex.getMessage.contains("converge"), ex.getMessage)
+  }
+
   test("exhausting maxIters before the fixpoint is surfaced, not silent") {
     // a chain needs ~log2(diameter) pointer-jumping rounds plus one
     // confirming round; maxIters = 1 cannot reach the fixpoint

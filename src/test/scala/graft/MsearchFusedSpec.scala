@@ -66,6 +66,18 @@ class MsearchFusedSpec extends AnyFunSuite {
     assert(got(2).map(t => (t._2, t._3)).toSet == soloCover)
   }
 
+  test("msearchCounts equals solo counts; zero, prefix and full-scan slots") {
+    val qs = Seq("even & triple", "prefixed:* & even", "zzzabsent",
+      "!rare7", "common", "")
+    val got = searcher.msearchCounts(qs).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    qs.zipWithIndex.foreach { case (q, qi) =>
+      assert(got(qi) == searcher.count(q), s"slot $qi '$q'")
+    }
+    assert(got(2) == 0L) // the spine surfaces empty slots
+    assert(got.size == qs.size)
+  }
+
   test("fused kernel executes once: shared exchange reused across branches") {
     import Searcher.MsearchSpec._
     val df = searcher.msearchPlan(Seq(
