@@ -208,6 +208,42 @@ object SparkEntry {
         |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
         |)""".stripMargin
 
+  /** Exact transitive closure of the VERIFIED near-dup pair graph
+    * (candidates → exact-jaccard θ=0.5 → closure) via recursive CTE;
+    * rep = min reachable docId, isolated docs rep = self. Shared by
+    * `dedup_cluster` (min-label propagation) and `dedup_cluster_star`
+    * (large-star/small-star): both engines' paths must produce identical
+    * component-min representatives.
+    */
+  private val ClusterOracle = ShingCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """,
+      |seeds AS (SELECT CAST(unnest(range(0,4)) AS INTEGER) AS seed),
+      |sig AS (SELECT doc_id, seed,
+      |  min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),1,15) AS BIGINT)) AS minhash
+      |  FROM shing, seeds GROUP BY doc_id, seed),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b ON a.seed=b.seed AND a.minhash=b.minhash AND a.doc_id<b.doc_id),
+      |ss AS (SELECT DISTINCT doc_id, sh FROM shing),
+      |sizes AS (SELECT doc_id, count(*) AS c FROM ss GROUP BY 1),
+      |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+      |  FROM cand p JOIN ss a ON a.doc_id=p.doc_a
+      |  JOIN ss b ON b.doc_id=p.doc_b AND b.sh=a.sh GROUP BY 1,2),
+      |prs AS (SELECT i.doc_a, i.doc_b
+      |  FROM inter i JOIN sizes ca ON ca.doc_id=i.doc_a
+      |  JOIN sizes cb ON cb.doc_id=i.doc_b
+      |  WHERE 2*i.i >= ca.c+cb.c-i.i),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+      |          UNION SELECT doc_b, doc_a FROM prs),
+      |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+      |reach(doc, r) AS (
+      |  SELECT doc, doc FROM nodes
+      |  UNION
+      |  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r),
+      |comp AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc)
+      |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+      |FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Materialize every once-per-corpus intermediate — index variants
     * (plain/weighted/hash/multicol), the token and shingle tables, and the
     * LSH signature table — so per-query bench numbers reflect the query,
@@ -640,6 +676,16 @@ object SparkEntry {
       import graft.text.Components
       val pairs = queries("dedup_verify_pairs")(s, dir).select("doc_a", "doc_b")
       Components.components(pairs, "doc_a", "doc_b", documents(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
+    "dedup_cluster_star" -> ((s, dir) => {
+      // the same verified edge set clustered by the alternating
+      // large-star/small-star formulation (O(log² n) rounds independent of
+      // component diameter — the extreme-scale path) — must agree with
+      // dedup_cluster's min-label result row for row
+      import graft.text.Components
+      val pairs = queries("dedup_verify_pairs")(s, dir).select("doc_a", "doc_b")
+      Components.componentsStar(pairs, "doc_a", "doc_b", documents(s, dir), "doc_id")
         .orderBy("doc_id")
     }),
     "fingerprint_bottomk" -> ((s, dir) => {
@@ -1431,34 +1477,8 @@ object SparkEntry {
     // exact transitive closure of the VERIFIED near-dup pair graph
     // (candidates → exact-jaccard θ=0.5 → closure) via recursive CTE;
     // rep = min reachable docId, isolated docs rep = self
-    "dedup_cluster" -> (ShingCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """,
-        |seeds AS (SELECT CAST(unnest(range(0,4)) AS INTEGER) AS seed),
-        |sig AS (SELECT doc_id, seed,
-        |  min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || sh),1,15) AS BIGINT)) AS minhash
-        |  FROM shing, seeds GROUP BY doc_id, seed),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sig a JOIN sig b ON a.seed=b.seed AND a.minhash=b.minhash AND a.doc_id<b.doc_id),
-        |ss AS (SELECT DISTINCT doc_id, sh FROM shing),
-        |sizes AS (SELECT doc_id, count(*) AS c FROM ss GROUP BY 1),
-        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
-        |  FROM cand p JOIN ss a ON a.doc_id=p.doc_a
-        |  JOIN ss b ON b.doc_id=p.doc_b AND b.sh=a.sh GROUP BY 1,2),
-        |prs AS (SELECT i.doc_a, i.doc_b
-        |  FROM inter i JOIN sizes ca ON ca.doc_id=i.doc_a
-        |  JOIN sizes cb ON cb.doc_id=i.doc_b
-        |  WHERE 2*i.i >= ca.c+cb.c-i.i),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
-        |          UNION SELECT doc_b, doc_a FROM prs),
-        |nodes AS (SELECT DISTINCT a AS doc FROM edges),
-        |reach(doc, r) AS (
-        |  SELECT doc, doc FROM nodes
-        |  UNION
-        |  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r),
-        |comp AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc)
-        |SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
-        |FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin),
+    "dedup_cluster" -> ClusterOracle,
+    "dedup_cluster_star" -> ClusterOracle,
     "fingerprint_bottomk" -> (ShingCte +
       """,
         |ss AS (SELECT DISTINCT doc_id, sh FROM shing),
