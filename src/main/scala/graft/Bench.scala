@@ -56,11 +56,17 @@ object Bench {
     * batch pays full planning + full execution (the ad-hoc msearch path;
     * the sound basis for throughput-scaling measurements).
     */
-  def queryBatchFresh(searcher: Searcher): Int = {
+  /** `planOnly = true` builds the fresh Dataset and forces its initial
+    * physical plan without executing — the driver-planning share of a
+    * batch (QueryProbe's decomposition).
+    */
+  def queryBatchFresh(searcher: Searcher, planOnly: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{col, count => fcount, lit}
-    benchSet(searcher).zipWithIndex.map { case (d, i) =>
+    val df = benchSet(searcher).zipWithIndex.map { case (d, i) =>
       d.agg(fcount(lit(1)).as("cnt")).select(lit(i).as("qi"), col("cnt"))
-    }.reduce(_.union(_)).collect().length
+    }.reduce(_.union(_))
+    if (planOnly) { df.queryExecution.executedPlan; 0 }
+    else df.collect().length
   }
 
   /** The same 6 logical queries as one FUSED msearch batch
@@ -80,10 +86,12 @@ object Bench {
       Match("seg:* & commit"))
   }
 
-  def queryBatchFused(searcher: Searcher): Int = {
+  def queryBatchFused(searcher: Searcher, planOnly: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{count => fcount, lit}
-    searcher.msearchPlan(fusedSpecs)
-      .groupBy("qi").agg(fcount(lit(1)).as("cnt")).collect().length
+    val df = searcher.msearchPlan(fusedSpecs)
+      .groupBy("qi").agg(fcount(lit(1)).as("cnt"))
+    if (planOnly) { df.queryExecution.executedPlan; 0 }
+    else df.collect().length
   }
 
   def main(args: Array[String]): Unit = {

@@ -23,6 +23,15 @@ object QueryProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // no manifest at `dir` → build the probe corpus there first (build it
+    // once at high parallelism, then probe the SAME index at each level)
+    if (graft.build.SegmentCatalog.load(dir).isEmpty) {
+      val n = sys.env.getOrElse("PROBE_FILES", "800000").toLong
+      val corpus = graft.sources.CorpusGen.withDocId(
+        graft.sources.CorpusGen.generate(spark, n, cores * 2))
+      graft.build.IndexBuilder.build(spark, corpus, "doc_id", "content", dir,
+        graft.build.IndexBuilder.Params(nShards = 32, tokenizer = "code"))
+    }
     val searcher = new Searcher(spark, dir)
 
     def time(name: String)(f: => Unit): Double = {
@@ -99,6 +108,23 @@ object QueryProbe {
     for (t <- 1 to 3)
       time(s"fresh-plan 6-query union t$t") {
         Bench.queryBatchFresh(searcher)
+      }
+    // decomposition: per-batch DRIVER PLANNING alone (build the fresh
+    // Dataset and force the initial physical plan, no action) vs the full
+    // batch. Planning is serial driver work a bigger cluster cannot
+    // shrink; the difference is the executor dataflow that scales. (AQE's
+    // runtime re-planning is excluded — this is the pre-execution cost.)
+    for (t <- 1 to 3)
+      time(s"plan-only per-branch batch t$t") {
+        Bench.queryBatchFresh(searcher, planOnly = true); ()
+      }
+    for (t <- 1 to 3)
+      time(s"plan-only fused batch t$t") {
+        Bench.queryBatchFused(searcher, planOnly = true); ()
+      }
+    for (t <- 1 to 3)
+      time(s"full fused batch t$t") {
+        Bench.queryBatchFused(searcher)
       }
     spark.stop()
   }
