@@ -208,13 +208,37 @@ object IndexBuilder {
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
 
+  /** Attached-column value, guarded: a NULL (or a value the long cast
+    * nulls out) would otherwise surface mid-job as an opaque encoder
+    * NOT_NULL_ASSERT_VIOLATION; fail with an actionable message instead.
+    * Addon semantics are non-nullable by design (distances/ranges over the
+    * payload) — fill or filter nulls before indexing. Null TEXT needs no
+    * guard: it indexes as an empty document.
+    */
+  /** docId, guarded like the addon: ids are the index's primary key, so a
+    * null (or uncastable) id is a data error surfaced with its column name
+    * rather than an encoder assertion deep in a build stage.
+    */
+  private def docIdColOf(docIdCol: String) =
+    when(col(docIdCol).cast("long").isNull,
+      raise_error(lit(s"docId column '$docIdCol' is null or not castable " +
+        "to long; clean ids before indexing")))
+      .otherwise(col(docIdCol).cast("long")).as("docId")
+
+  private def addonColOf(attach: Option[String], docId: Column) = attach
+    .map(a => when(col(a).isNull || col(a).cast("long").isNull,
+        raise_error(concat(lit(s"attach column '$a' is null or not castable " +
+          "to long for docId="), docId.cast("string"),
+          lit("; fill or filter nulls before indexing"))))
+      .otherwise(col(a).cast("long")))
+    .getOrElse(lit(0L)).as("addon")
+
   /** corpus slice → normalized (docId, text, addon, shard) columns. */
   private def normalize(corpus: DataFrame, docIdCol: String, textCol: String,
                         params: Params): DataFrame = {
-    val addonCol = params.attach
-      .map(a => col(a).cast("long")).getOrElse(lit(0L)).as("addon")
+    val addonCol = addonColOf(params.attach, col(docIdCol).cast("long"))
     corpus
-      .select(col(docIdCol).cast("long").as("docId"), col(textCol).as("text"), addonCol)
+      .select(docIdColOf(docIdCol), col(textCol).as("text"), addonCol)
       .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
   }
 
@@ -630,13 +654,12 @@ object IndexBuilder {
         .parquet(SegmentCatalog.altDir(indexDir))
 
     val cntUdf = udf(tokenCountFn(params.tokenizer))
-    val addonCol = params.attach
-      .map(a => col(a).cast("long")).getOrElse(lit(0L)).as("addon")
+    val addonCol = addonColOf(params.attach, col(docIdCol).cast("long"))
     val uniqUdf = udf(uniqueCountFn(params.tokenizer))
     val lenExpr = fields.map { case (_, c) => cntUdf(col(c)) }.reduce(_ + _)
     // uniq summed per field: a term in two fields is two distinct keys
     val uniqExpr = fields.map { case (_, c) => uniqUdf(col(c)) }.reduce(_ + _)
-    corpus.select(col(docIdCol).cast("long").as("docId"), lenExpr.as("len"), addonCol,
+    corpus.select(docIdColOf(docIdCol), lenExpr.as("len"), addonCol,
         uniqExpr.as("uniq"))
       .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
       .select("shard", "docId", "len", "addon", "uniq")
@@ -708,10 +731,9 @@ object IndexBuilder {
     }.reduce(_ unionAll _)
     val cntUdf = udf(tokenCountFn(params.tokenizer))
     val uniqUdf = udf(uniqueCountFn(params.tokenizer))
-    val addonCol = params.attach
-      .map(a => col(a).cast("long")).getOrElse(lit(0L)).as("addon")
+    val addonCol = addonColOf(params.attach, col(docIdCol).cast("long"))
     val docsDF = newCorpus
-      .select(col(docIdCol).cast("long").as("docId"),
+      .select(docIdColOf(docIdCol),
         fields.map { case (_, c) => cntUdf(col(c)) }.reduce(_ + _).as("len"), addonCol,
         fields.map { case (_, c) => uniqUdf(col(c)) }.reduce(_ + _).as("uniq"))
       .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))

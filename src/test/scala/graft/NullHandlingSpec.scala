@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.IndexBuilder
+import graft.search.Searcher
+
+/** Null/dirty-input semantics at build time — 100 TB corpora have nulls:
+  * null or empty TEXT indexes as an empty document (len 0, visible to
+  * full scans and negations, like an empty tsvector); null or uncastable
+  * docId/addon values fail FAST with an actionable column-named error
+  * instead of an opaque encoder assertion deep inside a build stage.
+  */
+class NullHandlingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("nullidx").toString
+
+  test("null and empty text index as empty documents") {
+    val dir = tmp()
+    val docs = Seq(
+      (1L, "alpha beta", 10L),
+      (2L, null.asInstanceOf[String], 20L),
+      (3L, "", 30L))
+    IndexBuilder.build(spark, docs.toDF("id", "t", "w"), "id", "t", dir,
+      IndexBuilder.Params(nShards = 2, attach = Some("w")))
+    val s = new Searcher(spark, dir)
+    assert(s.meta.numDocs == 3)
+    assert(s.matchingDocs("alpha").collect().map(_.getLong(0)).toSet == Set(1L))
+    // negation routes through the full scan: empty docs match !alpha
+    assert(s.matchingDocs("!alpha").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    val lens = s.docLens.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lens == Map(1L -> 2, 2L -> 0, 3L -> 0))
+  }
+
+  test("null addon fails fast with the column name") {
+    val docs = Seq(
+      (1L, "alpha", java.lang.Long.valueOf(10L)),
+      (2L, "beta", null.asInstanceOf[java.lang.Long]))
+    val ex = intercept[Exception] {
+      IndexBuilder.build(spark, docs.toDF("id", "t", "w"), "id", "t", tmp(),
+        IndexBuilder.Params(nShards = 2, attach = Some("w")))
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else (t.getMessage + "") :: messages(t.getCause)
+    assert(messages(ex).exists(_.contains("attach column 'w'")),
+      messages(ex).mkString(" | "))
+  }
+
+  test("null docId fails fast with the column name") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "alpha"),
+      (null.asInstanceOf[java.lang.Long], "beta"))
+    val ex = intercept[Exception] {
+      IndexBuilder.build(spark, docs.toDF("id", "t"), "id", "t", tmp(),
+        IndexBuilder.Params(nShards = 2))
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else (t.getMessage + "") :: messages(t.getCause)
+    assert(messages(ex).exists(_.contains("docId column 'id'")),
+      messages(ex).mkString(" | "))
+  }
+}
