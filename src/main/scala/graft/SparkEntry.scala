@@ -485,6 +485,29 @@ object SparkEntry {
           Window.orderBy(col("score").desc, col("docId"))))
         .select(col("docId").as("doc_id"), col("score"), col("rank"))
     }),
+    "ft_msearch_multi" -> ((s, dir) => {
+      // fused msearch over the MULTI-COLUMN index: field-scoped match +
+      // ranked + BM25 slots in one scan+shuffle; slot 2 follows
+      // ft_multicol_bm25's rounding-tie discipline (fetch 20, round,
+      // re-rank, keep 10)
+      import graft.search.Searcher.MsearchSpec._
+      val m = IndexCache.searcherM(s, dir).msearch(Seq(
+        MatchFields(Seq("text" -> "merge & win:*", "lang" -> "en | de")),
+        CoverFields("text", "order & window", Seq("lang" -> "en"), 10),
+        Bm25Fields("text", Seq("merge", "window", "vector"), 20)))
+      val s0 = m.where(col("qi") === 0)
+        .select(col("qi"), col("docId"), lit(0.0).as("score"))
+      val s1 = m.where(col("qi") === 1)
+        .withColumn("score", round(col("score"), 4))
+        .select(col("qi"), col("docId"), col("score"))
+      val s2 = m.where(col("qi") === 2)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("docId")).limit(10)
+        .select(col("qi"), col("docId"), col("score"))
+      s0.union(s1).union(s2)
+        .select(col("qi"), col("docId").as("doc_id"), col("score"))
+        .orderBy("qi", "doc_id")
+    }),
     "ft_rank_norm" -> ((s, dir) => {
       // rank-normalization flag end-to-end: LOGLENGTH divides the
       // cover-density score by ln(docLen+1) (reference flag set,
@@ -1232,6 +1255,50 @@ object SparkEntry {
         |SELECT doc_id, score,
         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
         |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+    // fused multicolumn msearch: each slot replays its solo multicol oracle
+    "ft_msearch_multi" -> (ToksCte +
+      """,
+        |m0 AS (SELECT doc_id FROM (
+        |  SELECT DISTINCT doc_id FROM toks WHERE term='merge'
+        |  INTERSECT SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'win%'
+        |  INTERSECT SELECT doc_id FROM documents WHERE lang IN ('en','de')) x),
+        |occ AS (SELECT t.doc_id, t.pos, t.term FROM toks t
+        |        JOIN documents dd ON dd.doc_id = t.doc_id AND dd.lang = 'en'
+        |        WHERE t.term IN ('order','window')),
+        |seq AS (SELECT doc_id, pos, term,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS q,
+        |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm
+        |        FROM occ),
+        |covers AS (SELECT doc_id, pos AS p, q, term AS t1 FROM seq
+        |           WHERE nterm IS NOT NULL AND nterm <> term),
+        |numbered AS (SELECT doc_id, p, q, t1,
+        |             row_number() OVER (PARTITION BY doc_id, t1 ORDER BY p) AS l
+        |             FROM covers),
+        |cscores AS (SELECT doc_id, sum(0.2/(q - p)/(l*l)/1.64493406685) AS score
+        |            FROM numbered GROUP BY doc_id),
+        |c10 AS (SELECT doc_id,
+        |          CAST(CAST(1.0 AS REAL)/CAST(score AS REAL) AS DOUBLE) AS d
+        |        FROM cscores ORDER BY d, doc_id LIMIT 10),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1,2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |           ((SELECT count(*) FROM toks)
+        |            + (SELECT sum(len(regexp_extract_all(lower(lang), '[a-z0-9]+')))
+        |               FROM documents))*1.0
+        |           /(SELECT count(*) FROM documents) AS avgl),
+        |bscores AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1+(n-df+0.5)/(df+0.5)) * (tf*2.2)/(tf+1.2*(0.25+0.75*len/avgl))),4) AS score
+        |  FROM tf JOIN df USING(term) JOIN lens ON lens.doc_id=tf.doc_id CROSS JOIN consts
+        |  GROUP BY tf.doc_id),
+        |b10 AS (SELECT doc_id, score FROM bscores ORDER BY score DESC, doc_id LIMIT 10)
+        |SELECT 0 AS qi, doc_id, 0.0 AS score FROM m0
+        |UNION ALL SELECT 1, doc_id, round(d, 4) FROM c10
+        |UNION ALL SELECT 2, doc_id, score FROM b10
+        |ORDER BY qi, doc_id""".stripMargin),
     // LOGLENGTH norm: cover score divided by ln(len+1) before inversion
     "ft_rank_norm" -> (ToksCte +
       """,

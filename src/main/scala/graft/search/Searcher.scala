@@ -456,9 +456,13 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       topKCoverMultiU(rankField, rankQuery, filters, k, matchOnly, method)
     }
 
-  private def topKCoverMultiU(rankField: String, rankQuery: String,
-                     filters: Seq[(String, String)], k: Int,
-                     matchOnly: Boolean, method: Int): DataFrame = {
+  /** (fullCq, scoreCq, scoreMap) for a multicolumn ranked scan: match the
+    * AND of every field's tsquery, rank by `rankQuery`'s cover-density
+    * alone; scoreCq key j reads positions from full-query key scoreMap(j)
+    * (dedup is per (term, prefix) on both sides, so the lookup is total).
+    */
+  private def compileCoverMulti(rankField: String, rankQuery: String,
+      filters: Seq[(String, String)]): (CompiledQuery, CompiledQuery, Array[Int]) = {
     require(meta.fields.nonEmpty, "not a multi-column index")
     val known = meta.fields.split(",").toSet
     (rankField +: filters.map(_._1)).foreach(f =>
@@ -471,11 +475,16 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     }
     val fullCq = compileTree((rankTree +: filterTrees).reduce(TsQuery.And(_, _)))
     val scoreCq = compileTree(rankTree)
-    // scoreCq key j reads positions from the full query's matching key
-    // (dedup is per (term, prefix) on both sides, so the lookup is total)
     val scoreMap = scoreCq.keys.map(sk =>
       fullCq.keys.indexWhere(fk => fk.term == sk.term && fk.prefix == sk.prefix))
     require(scoreMap.forall(_ >= 0), "rank keys must appear in the full query")
+    (fullCq, scoreCq, scoreMap)
+  }
+
+  private def topKCoverMultiU(rankField: String, rankQuery: String,
+                     filters: Seq[(String, String)], k: Int,
+                     matchOnly: Boolean, method: Int): DataFrame = {
+    val (fullCq, scoreCq, scoreMap) = compileCoverMulti(rankField, rankQuery, filters)
     topKCoverC(fullCq, k, matchOnly, method, scoreCq, scoreMap)
   }
 
@@ -658,35 +667,51 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     import Searcher.MsearchSpec._
     val fused = scala.collection.mutable.ArrayBuffer.empty[Searcher.FusedSpec]
     val fallback = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def addMatch(qi: Int, cq: CompiledQuery): Unit = {
+      if (SearchKernel.isVoid(cq)) ()
+      else if (SearchKernel.needsFullScan(cq))
+        fallback += matchingDocsC(cq)
+          .select(lit(qi).as("qi"), col("docId"), lit(0.0).as("score"))
+      else fused += Searcher.FusedSpec(qi, 0, cq, SearchKernel.keySpecs(cq),
+        null, null, null, 0)
+    }
+    def addCover(qi: Int, cq: CompiledQuery, k: Int,
+                 scoreCq: CompiledQuery, scoreMap: Array[Int]): Unit = {
+      if (SearchKernel.isVoid(cq)) ()
+      else if (SearchKernel.needsFullScan(cq))
+        fallback += topKCoverC(cq, k, matchOnly = true, 0, scoreCq, scoreMap)
+          .select(lit(qi).as("qi"), col("docId"), col("distance").as("score"))
+      else fused += Searcher.FusedSpec(qi, 1, cq, SearchKernel.keySpecs(cq),
+        null, null, null, k, scoreCq, scoreMap)
+    }
+    def addBm25(qi: Int, keys: Seq[String], k: Int): Unit = {
+      val distinct = keys.distinct
+      val stats = statsFor(distinct)
+      val present = distinct.filter(stats.contains).toArray
+      if (present.nonEmpty) {
+        val dfArr = present.map(t => stats(t)._1)
+        val ubArr = present.indices.map(i =>
+          graft.query.Bm25.maxTermScore(stats(present(i))._2, dfArr(i),
+            meta.avgLen, meta.numDocs)).toArray
+        fused += Searcher.FusedSpec(qi, 2, null, null, present, dfArr, ubArr, k)
+      }
+    }
     specs.zipWithIndex.foreach { case (spec, qi) =>
       spec match {
-        case Match(q) =>
-          val cq = compile(q)
-          if (SearchKernel.isVoid(cq)) ()
-          else if (SearchKernel.needsFullScan(cq))
-            fallback += matchingDocsC(cq)
-              .select(lit(qi).as("qi"), col("docId"), lit(0.0).as("score"))
-          else fused += Searcher.FusedSpec(qi, 0, cq, SearchKernel.keySpecs(cq),
-            null, null, null, 0)
-        case Cover(q, k) =>
-          val cq = compile(q)
-          if (SearchKernel.isVoid(cq)) ()
-          else if (SearchKernel.needsFullScan(cq))
-            fallback += topKCoverC(cq, k, matchOnly = true, 0, null, null)
-              .select(lit(qi).as("qi"), col("docId"), col("distance").as("score"))
-          else fused += Searcher.FusedSpec(qi, 1, cq, SearchKernel.keySpecs(cq),
-            null, null, null, k)
-        case Bm25(terms, k) =>
-          val distinct = terms.distinct.map(keyOf)
-          val stats = statsFor(distinct)
-          val present = distinct.filter(stats.contains).toArray
-          if (present.nonEmpty) {
-            val dfArr = present.map(t => stats(t)._1)
-            val ubArr = present.indices.map(i =>
-              graft.query.Bm25.maxTermScore(stats(present(i))._2, dfArr(i),
-                meta.avgLen, meta.numDocs)).toArray
-            fused += Searcher.FusedSpec(qi, 2, null, null, present, dfArr, ubArr, k)
-          }
+        case Match(q) => addMatch(qi, compile(q))
+        case Cover(q, k) => addCover(qi, compile(q), k, null, null)
+        case Bm25(terms, k) => addBm25(qi, terms.map(keyOf), k)
+        // field-scoped variants over a multi-column index: the same fused
+        // pass — field-prefixed keys are just keys to the kernel
+        case MatchFields(fq) => addMatch(qi, compileMulti(fq))
+        case CoverFields(rf, rq, filters, k) =>
+          val (fullCq, scoreCq, scoreMap) = compileCoverMulti(rf, rq, filters)
+          addCover(qi, fullCq, k, scoreCq, scoreMap)
+        case Bm25Fields(field, terms, k) =>
+          require(meta.fields.split(",").contains(field),
+            s"unknown field '$field' (have ${meta.fields})")
+          addBm25(qi,
+            terms.map(t => keyOf(graft.build.IndexBuilder.fieldKey(field, t))), k)
       }
     }
 
@@ -717,7 +742,8 @@ final class Searcher(spark: SparkSession, indexDir: String) {
                     score = false, k = 0)
                   .map(t => (f.qi, t._1, 0.0, 0.0))
                 case 1 => SearchKernel.matchShard(f.cq, f.keys, rows.iterator,
-                    score = true, k = f.k)
+                    score = true, k = f.k, scoreCq = f.scoreCq,
+                    scoreMap = f.scoreMap)
                   .map(t => (f.qi, t._1, t._2, t._2))
                 case _ => SearchKernel.wandShard(f.terms, f.dfs, f.ubs, nDocs,
                     avgLen, f.k, rows.iterator)
@@ -861,6 +887,14 @@ object Searcher {
     final case class Bm25(terms: Seq[String], k: Int) extends MsearchSpec
     /** cover-density ranked top-k (score = distance, lower better) */
     final case class Cover(query: String, k: Int) extends MsearchSpec
+    /** multicolumn match: one tsquery per field, ANDed (compileMulti) */
+    final case class MatchFields(fieldQueries: Seq[(String, String)]) extends MsearchSpec
+    /** multicolumn ranked top-k: rank one field's query, siblings filter */
+    final case class CoverFields(rankField: String, rankQuery: String,
+        filters: Seq[(String, String)], k: Int) extends MsearchSpec
+    /** field-scoped BM25 over a multicolumn index */
+    final case class Bm25Fields(field: String, terms: Seq[String], k: Int)
+      extends MsearchSpec
   }
 
   /** Compiled fused-batch slot (task-closure payload: no session refs).
@@ -868,7 +902,8 @@ object Searcher {
     */
   private[search] final case class FusedSpec(
       qi: Int, mode: Int, cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
-      terms: Array[String], dfs: Array[Long], ubs: Array[Double], k: Int)
+      terms: Array[String], dfs: Array[Long], ubs: Array[Double], k: Int,
+      scoreCq: CompiledQuery = null, scoreMap: Array[Int] = null)
 
   /** One ORDER BY key of a [[Searcher.topKMulti]] scan. */
   sealed trait OrderKey

@@ -56,6 +56,28 @@ class MultiColSpec extends AnyFunSuite {
       (0 until n).count(_ % 5 == 0))
   }
 
+  test("fused msearch over field-scoped specs equals solo multicolumn queries") {
+    import Searcher.MsearchSpec._
+    val filters = Seq("body" -> "gamma")
+    val got = searcher.msearch(Seq(
+        MatchFields(Seq("title" -> "alpha", "body" -> "alpha & gamma")),
+        CoverFields("body", "common & gamma", Seq("title" -> "alpha"), 7),
+        Bm25Fields("body", Seq("gamma", "special"), 5)))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val m0 = searcher.matchingDocsMulti(
+        Seq("title" -> "alpha", "body" -> "alpha & gamma"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got(0).map(_._2).toSet == m0)
+    val c1 = searcher.topKCoverMulti("body", "common & gamma",
+        Seq("title" -> "alpha"), 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got(1).map(t => (t._2, t._3)).toSet == c1)
+    val b2 = searcher.topKBm25Fields("body", Seq("gamma", "special"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got(2).map(t => (t._2, t._3)).toSet == b2)
+  }
+
   test("single-column API rejected on a multi-column index; unknown field rejected") {
     assert(intercept[IllegalArgumentException](searcher.count("alpha"))
       .getMessage.contains("multi-column"))
