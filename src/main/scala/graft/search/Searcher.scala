@@ -675,14 +675,15 @@ final class Searcher(spark: SparkSession, indexDir: String) {
       else fused += Searcher.FusedSpec(qi, 0, cq, SearchKernel.keySpecs(cq),
         null, null, null, 0)
     }
-    def addCover(qi: Int, cq: CompiledQuery, k: Int,
+    def addCover(qi: Int, cq: CompiledQuery, k: Int, method: Int,
                  scoreCq: CompiledQuery, scoreMap: Array[Int]): Unit = {
+      val needsHeap = (method & (CoverRank.NormUniq | CoverRank.NormLogUniq)) != 0
       if (SearchKernel.isVoid(cq)) ()
-      else if (SearchKernel.needsFullScan(cq))
-        fallback += topKCoverC(cq, k, matchOnly = true, 0, scoreCq, scoreMap)
+      else if (needsHeap || SearchKernel.needsFullScan(cq))
+        fallback += topKCoverC(cq, k, matchOnly = true, method, scoreCq, scoreMap)
           .select(lit(qi).as("qi"), col("docId"), col("distance").as("score"))
       else fused += Searcher.FusedSpec(qi, 1, cq, SearchKernel.keySpecs(cq),
-        null, null, null, k, scoreCq, scoreMap)
+        null, null, null, k, scoreCq, scoreMap, method)
     }
     def addBm25(qi: Int, keys: Seq[String], k: Int): Unit = {
       val distinct = keys.distinct
@@ -699,14 +700,14 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     specs.zipWithIndex.foreach { case (spec, qi) =>
       spec match {
         case Match(q) => addMatch(qi, compile(q))
-        case Cover(q, k) => addCover(qi, compile(q), k, null, null)
+        case Cover(q, k, method) => addCover(qi, compile(q), k, method, null, null)
         case Bm25(terms, k) => addBm25(qi, terms.map(keyOf), k)
         // field-scoped variants over a multi-column index: the same fused
         // pass — field-prefixed keys are just keys to the kernel
         case MatchFields(fq) => addMatch(qi, compileMulti(fq))
         case CoverFields(rf, rq, filters, k) =>
           val (fullCq, scoreCq, scoreMap) = compileCoverMulti(rf, rq, filters)
-          addCover(qi, fullCq, k, scoreCq, scoreMap)
+          addCover(qi, fullCq, k, 0, scoreCq, scoreMap)
         case Bm25Fields(field, terms, k) =>
           require(meta.fields.split(",").contains(field),
             s"unknown field '$field' (have ${meta.fields})")
@@ -742,8 +743,8 @@ final class Searcher(spark: SparkSession, indexDir: String) {
                     score = false, k = 0)
                   .map(t => (f.qi, t._1, 0.0, 0.0))
                 case 1 => SearchKernel.matchShard(f.cq, f.keys, rows.iterator,
-                    score = true, k = f.k, scoreCq = f.scoreCq,
-                    scoreMap = f.scoreMap)
+                    score = true, k = f.k, method = f.method,
+                    scoreCq = f.scoreCq, scoreMap = f.scoreMap)
                   .map(t => (f.qi, t._1, t._2, t._2))
                 case _ => SearchKernel.wandShard(f.terms, f.dfs, f.ubs, nDocs,
                     avgLen, f.k, rows.iterator)
@@ -885,8 +886,11 @@ object Searcher {
     final case class Match(query: String) extends MsearchSpec
     /** BM25 disjunctive top-k over a bag of terms (higher score better) */
     final case class Bm25(terms: Seq[String], k: Int) extends MsearchSpec
-    /** cover-density ranked top-k (score = distance, lower better) */
-    final case class Cover(query: String, k: Int) extends MsearchSpec
+    /** cover-density ranked top-k (score = distance, lower better);
+      * `method` = CoverRank normalization flags (UNIQ norms route the slot
+      * through its solo full-scan fallback — they read the docs table)
+      */
+    final case class Cover(query: String, k: Int, method: Int = 0) extends MsearchSpec
     /** multicolumn match: one tsquery per field, ANDed (compileMulti) */
     final case class MatchFields(fieldQueries: Seq[(String, String)]) extends MsearchSpec
     /** multicolumn ranked top-k: rank one field's query, siblings filter */
@@ -903,7 +907,8 @@ object Searcher {
   private[search] final case class FusedSpec(
       qi: Int, mode: Int, cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
       terms: Array[String], dfs: Array[Long], ubs: Array[Double], k: Int,
-      scoreCq: CompiledQuery = null, scoreMap: Array[Int] = null)
+      scoreCq: CompiledQuery = null, scoreMap: Array[Int] = null,
+      method: Int = 0)
 
   /** One ORDER BY key of a [[Searcher.topKMulti]] scan. */
   sealed trait OrderKey

@@ -122,6 +122,30 @@ class AppendSpec extends AnyFunSuite {
       .forall(r => !Set(2L, 4L, 8L, 16L)(r.getLong(0))))
   }
 
+  test("streaming ingest auto-compacts mid-stream; results stay exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Long)]
+    val dir = build(mkDocs(0 until 10))
+    val q = stream.toDF().toDF("id", "t", "w")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IndexBuilder.append(spark, batch, "id", "t", dir)
+        ()
+      }
+      .start()
+    // 10 micro-batches → 10 appends → the size-tier policy compacts at
+    // append 8, WHILE the stream keeps appending afterwards
+    (0 until 10).foreach { i =>
+      stream.addData(mkDocs(10 + i * 5 until 15 + i * 5): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val m = SegmentCatalog.load(dir).get
+    assert(m.appendRuns < IndexBuilder.AutoCompactRuns, s"runs=${m.appendRuns}")
+    assert(m.numDocs == 60)
+    assert(results(dir) == results(build(mkDocs(0 until 60))))
+  }
+
   test("structured streaming foreachBatch incremental build") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, Long)]

@@ -66,6 +66,18 @@ class MsearchFusedSpec extends AnyFunSuite {
     assert(got(2).map(t => (t._2, t._3)).toSet == soloCover)
   }
 
+  test("Cover slot with normalization flags equals the solo normalized query") {
+    import Searcher.MsearchSpec._
+    import graft.query.CoverRank
+    for (m <- Seq(CoverRank.NormLogLength, CoverRank.NormUniq)) {
+      val got = searcher.msearch(Seq(Cover("common & rare7", 6, method = m)))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      val solo = searcher.topKCover("common & rare7", 6, method = m)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == solo, s"method=$m")
+    }
+  }
+
   test("msearchCounts equals solo counts; zero, prefix and full-scan slots") {
     val qs = Seq("even & triple", "prefixed:* & even", "zzzabsent",
       "!rare7", "common", "")
