@@ -138,6 +138,19 @@ class OrderBySpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == single)
   }
 
+  test("topKMulti on a pure negation routes through the full scan") {
+    import graft.search.Searcher.OrderKey
+    // !wr has no required keys → full-scan candidates (docs table)
+    val nonMatch = rows.filterNot(_._2.split("\\s+").contains("wr"))
+    val expect = nonMatch
+      .map { case (id, _, d) => (id, math.abs(d - C)) }
+      .sortBy { case (id, dist) => (dist, id) }.take(5)
+      .map { case (id, dist) => (id, dist.toDouble) }
+    val got = searcher.topKMulti("!wr", Seq(OrderKey.Addon(C, "both")), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == expect, got.mkString(","))
+  }
+
   test("addon values round-trip exactly (µs timestamps in payload)") {
     import org.apache.spark.sql.functions._
     val expect = rows.map(r => r._1 -> r._3).toMap
