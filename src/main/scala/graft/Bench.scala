@@ -18,6 +18,11 @@ import graft.sources.CorpusGen
   */
 object Bench {
 
+  /** number of queries in [[queryLatencies]]'s set (asserted there) —
+    * shared with ScalingBench's per-client rep math instead of a literal.
+    */
+  val latencySetSize = 6
+
   def queryLatencies(searcher: Searcher, reps: Int): Array[Double] = {
     val queries = Seq(
       () => searcher.topKBm25(Seq("merge", "index", "partition"), 10).collect(),
@@ -26,6 +31,7 @@ object Bench {
       () => searcher.count("hash | tree | heap"),
       () => searcher.topKCover("index & (merge | sort)", 10).collect(),
       () => searcher.count("seg:* & commit"))
+    assert(queries.length == latencySetSize)
     val times = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to reps; q <- queries) {
       val t0 = System.nanoTime()
@@ -86,6 +92,44 @@ object Bench {
       Match("seg:* & commit"))
   }
 
+  /** A 24-spec heterogeneous batch — the serving-tier batch size the fused
+    * engine is built for (the 6-spec set exercises correctness/latency; a
+    * real dispatch loop coalesces 24-48 queries per batch). Spec mix and
+    * per-spec term sets vary so no two specs share a compiled shape.
+    */
+  val fusedSpecs24: Seq[Searcher.MsearchSpec] = {
+    import Searcher.MsearchSpec._
+    fusedSpecs ++ Seq(
+      Bm25(Seq("stream", "shuffle"), 10),
+      Bm25(Seq("batch", "write", "read"), 10),
+      Bm25(Seq("spill", "memory", "disk", "cache"), 10),
+      Bm25(Seq("thread", "lock"), 5),
+      Match("sort & spill"),
+      Match("cache | buffer"),
+      Match("read & write & sync"),
+      Match("row | column | page"),
+      Match("queue & !drop"),
+      Cover("merge & (read | write)", 10),
+      Cover("hash & bucket", 10),
+      Cover("scan | seek", 5),
+      Cover("block & size", 10),
+      Match("tab:* & merge"),
+      Bm25(Seq("split", "merge", "compact"), 10),
+      Match("offset | length"),
+      Cover("commit & log", 10),
+      Bm25(Seq("error", "retry"), 10))
+  }
+
+  /** [[queryBatchFused]] over an arbitrary spec batch (fresh-planned). */
+  def queryBatchFusedN(searcher: Searcher, specs: Seq[Searcher.MsearchSpec],
+                       planOnly: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{count => fcount, lit}
+    val df = searcher.msearchPlan(specs)
+      .groupBy("qi").agg(fcount(lit(1)).as("cnt"))
+    if (planOnly) { df.queryExecution.executedPlan; 0 }
+    else df.collect().length
+  }
+
   def queryBatchFused(searcher: Searcher, planOnly: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{count => fcount, lit}
     val df = searcher.msearchPlan(fusedSpecs)
@@ -140,15 +184,26 @@ object Bench {
     val adhoc = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
       queryBatchFused(searcher)
-      (System.nanoTime() - t0) / 1e9 / 6
+      (System.nanoTime() - t0) / 1e9 / fusedSpecs.length
     }.sorted
     results += "query_p50_adhoc" -> adhoc(adhoc.length / 2)
     val adhocPb = (1 to 5).map { _ =>
       val t0 = System.nanoTime()
       queryBatchFresh(searcher)
-      (System.nanoTime() - t0) / 1e9 / 6
+      (System.nanoTime() - t0) / 1e9 / fusedSpecs.length
     }.sorted
     results += "query_p50_adhoc_perbranch" -> adhocPb(adhocPb.length / 2)
+    // large-batch fused dispatch: 24 heterogeneous specs, fresh-planned —
+    // per-query cost should DROP vs the 6-spec batch (fixed per-batch
+    // driver work amortizes over 4x the queries; the shared ShardView keys
+    // per-spec kernel setup off the spec's own terms, not the union)
+    queryBatchFusedN(searcher, fusedSpecs24) // warm
+    val adhoc24 = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      queryBatchFusedN(searcher, fusedSpecs24)
+      (System.nanoTime() - t0) / 1e9 / fusedSpecs24.length
+    }.sorted
+    results += "query_p50_adhoc24" -> adhoc24(adhoc24.length / 2)
 
     // ---- wide-prefix union latency (heap union path) ----
     // one-letter prefix over the code corpus: expansion width is in the

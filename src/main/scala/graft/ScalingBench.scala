@@ -67,7 +67,7 @@ object ScalingBench {
             // concurrent clients — per-thread pools share slots fairly,
             // which is the capacity a multi-tenant cluster actually has
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$c")
-            Bench.queryLatencies(searcher, perClient / 6)
+            Bench.queryLatencies(searcher, perClient / Bench.latencySetSize)
             ()
           })
           th.start(); th
@@ -115,7 +115,7 @@ object ScalingBench {
           }
           bthreads.foreach(_.join())
           val bSec = (System.nanoTime() - tb0) / 1e9
-          val bq = bClients * perClientBatches * 6
+          val bq = bClients * perClientBatches * Bench.fusedSpecs.length
           System.err.println(
             f"[scaling] cores=$cores $tag trial $bt: $bq ad-hoc queries in $bSec%.1fs")
           best = math.max(best, bq / bSec)

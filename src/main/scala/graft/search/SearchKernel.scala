@@ -331,42 +331,75 @@ object SearchKernel extends Serializable {
   /** member count above which prefix unions use the heap cursor */
   val HeapUnionThreshold = 64
 
-  /** Build one cursor per query key from the shard's posting rows.
-    * Chunk rows of one term are ordered by their first docId (disjoint
-    * ranges by construction — the builder splits long terms by docId range).
+  /** Shard-local term table: the posting rows of one shard grouped by term
+    * ONCE, with the per-term run partition and prefix expansions memoized.
+    * A fused msearch batch evaluates MANY specs over the same buffered
+    * shard; building each spec's cursors from a shared view makes per-spec
+    * setup O(|spec's terms|) instead of O(|union rows|) re-hashing per spec
+    * (the batch-size tax the fused shape exists to avoid). Cursors built
+    * from the view are always FRESH — only the immutable grouping/run
+    * structure is shared. Not thread-safe (one task owns its shard).
     */
-  def buildCursors(keys: Array[KeySpec], rows: Iterator[PostingRow]): Array[KeyCursor] = {
-    val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingRow]]
+  final class ShardView(rows: Iterator[PostingRow]) {
+    private val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingRow]]
     rows.foreach { r =>
       byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r
     }
+
+    /** runs × chunk-rows-in-run, as block arrays (see [[termCursors]]) */
+    private val runCache = mutable.HashMap.empty[String, Array[Array[Array[PostingBlock]]]]
+    private val prefixCache = mutable.HashMap.empty[String, Array[String]]
+
+    def hasTerm(t: String): Boolean = byTerm.contains(t)
+
+    def termsWithPrefix(p: String): Array[String] =
+      prefixCache.getOrElseUpdate(p, byTerm.keysIterator.filter(_.startsWith(p)).toArray)
+
     // One term's chunk rows normally have disjoint ascending docId ranges
     // (single-build layout) → one streaming cursor. After incremental
     // appends (micro-segments, the ruminsert path: src/ruminsert.c:799-837)
     // ranges overlap → k-way merge of the non-ascending runs
     // (rumMergeRumItems semantics, src/rumdatapage.c:367-408).
-    def termCursors(t: String): Array[PostingCursor] = {
-      val sorted = byTerm(t).sortBy(_.blocks.head.firstDoc)
-      val runs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[PostingRow]]
-      sorted.foreach { r =>
-        if (runs.nonEmpty && r.blocks.head.firstDoc > runs.last.last.blocks.last.lastDoc)
-          runs.last += r // extends the run: still strictly ascending
-        else runs += mutable.ArrayBuffer(r) // overlap → separate run to merge
-      }
-      runs.map(run => new PostingCursor(run.map(_.blocks).iterator)).toArray
-    }
+    private def termRuns(t: String): Array[Array[Array[PostingBlock]]] =
+      runCache.getOrElseUpdate(t, {
+        val sorted = byTerm(t).sortBy(_.blocks.head.firstDoc)
+        val runs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[PostingRow]]
+        sorted.foreach { r =>
+          if (runs.nonEmpty && r.blocks.head.firstDoc > runs.last.last.blocks.last.lastDoc)
+            runs.last += r // extends the run: still strictly ascending
+          else runs += mutable.ArrayBuffer(r) // overlap → separate run to merge
+        }
+        runs.map(_.map(_.blocks).toArray).toArray
+      })
+
+    /** fresh streaming cursors over the term's runs (one per run) */
+    def termCursors(t: String): Array[PostingCursor] =
+      termRuns(t).map(run => new PostingCursor(run.iterator))
+  }
+
+  /** Build one cursor per query key from the shard's posting rows.
+    * Chunk rows of one term are ordered by their first docId (disjoint
+    * ranges by construction — the builder splits long terms by docId range).
+    */
+  def buildCursors(keys: Array[KeySpec], rows: Iterator[PostingRow]): Array[KeyCursor] =
+    buildCursors(keys, new ShardView(rows))
+
+  /** [[buildCursors]] over a pre-grouped [[ShardView]] — the fused-msearch
+    * path shares one view across every spec in the batch.
+    */
+  def buildCursors(keys: Array[KeySpec], view: ShardView): Array[KeyCursor] = {
     def termCursor(t: String): KeyCursor = {
-      val cs = termCursors(t)
+      val cs = view.termCursors(t)
       if (cs.length == 1) new SingleCursor(cs(0)) else new UnionCursor(cs)
     }
     keys.map { k =>
       if (!k.prefix) {
-        if (byTerm.contains(k.term)) termCursor(k.term) else EmptyCursor
+        if (view.hasTerm(k.term)) termCursor(k.term) else EmptyCursor
       } else {
-        val terms = byTerm.keysIterator.filter(_.startsWith(k.term)).toArray
+        val terms = view.termsWithPrefix(k.term)
         if (terms.isEmpty) EmptyCursor
         else {
-          val cs = terms.flatMap(termCursors)
+          val cs = terms.flatMap(view.termCursors)
           if (cs.length > HeapUnionThreshold) new HeapUnionCursor(cs)
           else new UnionCursor(cs)
         }
@@ -436,8 +469,15 @@ object SearchKernel extends Serializable {
   def matchShard(cq: CompiledQuery, keys: Array[KeySpec], rows: Iterator[PostingRow],
                  score: Boolean, k: Int,
                  method: Int = 0, scoreCq: CompiledQuery = null,
-                 scoreMap: Array[Int] = null): Iterator[(Long, Double, Long)] = {
-    val cursors = buildCursors(keys, rows)
+                 scoreMap: Array[Int] = null): Iterator[(Long, Double, Long)] =
+    matchShard(cq, keys, new ShardView(rows), score, k, method, scoreCq, scoreMap)
+
+  /** [[matchShard]] over a shared [[ShardView]] (fused msearch batches). */
+  def matchShard(cq: CompiledQuery, keys: Array[KeySpec], view: ShardView,
+                 score: Boolean, k: Int,
+                 method: Int, scoreCq: CompiledQuery,
+                 scoreMap: Array[Int]): Iterator[(Long, Double, Long)] = {
+    val cursors = buildCursors(keys, view)
     // fast scan: when some keys are required in every match, candidates
     // come from their seek-join intersection (far fewer consistency checks
     // than the union — and a required term absent from the shard yields
@@ -609,9 +649,15 @@ object SearchKernel extends Serializable {
     */
   def wandShard(terms: Array[String], dfs: Array[Long], ubs: Array[Double],
                 numDocs: Long, avgLen: Double, k: Int,
-                rows: Iterator[PostingRow]): Iterator[(Long, Double)] = {
+                rows: Iterator[PostingRow]): Iterator[(Long, Double)] =
+    wandShard(terms, dfs, ubs, numDocs, avgLen, k, new ShardView(rows))
+
+  /** [[wandShard]] over a shared [[ShardView]] (fused msearch batches). */
+  def wandShard(terms: Array[String], dfs: Array[Long], ubs: Array[Double],
+                numDocs: Long, avgLen: Double, k: Int,
+                view: ShardView): Iterator[(Long, Double)] = {
     val specs = terms.zipWithIndex.map { case (t, i) => KeySpec(i, t, prefix = false) }
-    val cursors = buildCursors(specs, rows)
+    val cursors = buildCursors(specs, view)
     val nT = terms.length
     // heap keeps k best: evict smallest score (ties: evict larger docId)
     val pq = mutable.PriorityQueue.empty[(Double, Long)](

@@ -23,7 +23,8 @@ import graft.query._
   *      index-side ordering, the defining RUM capability (README.md:80-136)
   *   4. per-shard top-k heap → global TakeOrderedAndProject.
   */
-final class Searcher(spark: SparkSession, indexDir: String) {
+final class Searcher(spark: SparkSession, indexDir: String,
+                     maxCachedPlans: Int = Searcher.MaxCachedPlans) {
   import spark.implicits._
 
   val meta: IndexMeta = SegmentCatalog.load(indexDir)
@@ -62,19 +63,26 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * construction (e.g. topKBm25's df/maxTf fetch), instead of paying
     * Catalyst + a stats job again. This is the fixed per-query driver cost
     * that does NOT parallelize with added cores (BENCH/BASELINE.md 2→8
-    * analysis); execution itself still runs fresh per action. Bounded: past
-    * [[Searcher.MaxCachedPlans]] distinct shapes, plans are built uncached.
+    * analysis); execution itself still runs fresh per action. Bounded by
+    * access-ordered LRU at `maxCachedPlans` shapes: a prepared workload
+    * that churns shapes keeps its hot set (evicting the coldest plan)
+    * instead of degrading to permanent re-planning.
     */
-  private val planCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val planCache: java.util.Map[String, DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, DataFrame](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, DataFrame]): Boolean =
+          size() > maxCachedPlans
+      })
 
   private def cached(key: String)(make: => DataFrame): DataFrame = {
     // get/putIfAbsent, NOT computeIfAbsent: plan builders nest (count's agg
-    // plan is built over the cached matchingDocs plan) and a nested
-    // computeIfAbsent on one ConcurrentHashMap throws "Recursive update".
-    // A racing duplicate build is harmless — first one in wins.
+    // plan is built over the cached matchingDocs plan) and holding the map
+    // lock across `make` would deadlock/re-enter. A racing duplicate build
+    // is harmless — first one in wins. get() also refreshes LRU recency.
     val hit = planCache.get(key)
     if (hit != null) hit
-    else if (planCache.size >= Searcher.MaxCachedPlans) make
     else {
       val df = make
       val prev = planCache.putIfAbsent(key, df)
@@ -658,7 +666,7 @@ final class Searcher(spark: SparkSession, indexDir: String) {
     * back to their solo plans, unioned in.
     */
   def msearch(specs: Seq[Searcher.MsearchSpec]): DataFrame =
-    cached("msearch" + Searcher.key(specs.map(_.toString): _*))(msearchPlan(specs))
+    cached("msearch" + specs.map(Searcher.specKey).mkString(""))(msearchPlan(specs))
 
   /** Uncached twin of [[msearch]] — ad-hoc paths that must pay fresh
     * planning (and benchmarks that must measure it) build a new plan here.
@@ -736,18 +744,21 @@ final class Searcher(spark: SparkSession, indexDir: String) {
         val base = postings.where(pred).groupByKey(_.shard)
         def kernel(specsArr: Array[Searcher.FusedSpec]): DataFrame =
           base.flatMapGroups { (shard: Int, it: Iterator[PostingRow]) =>
-            val rows = it.toArray
+            // group the shard's rows by term ONCE; every spec's cursor
+            // construction then touches only its own terms' entries —
+            // per-spec setup is O(spec terms), not O(specs × union rows)
+            val view = new SearchKernel.ShardView(it)
             specsArr.iterator.flatMap { f =>
               f.mode match {
-                case 0 => SearchKernel.matchShard(f.cq, f.keys, rows.iterator,
-                    score = false, k = 0)
+                case 0 => SearchKernel.matchShard(f.cq, f.keys, view,
+                    score = false, k = 0, method = 0, scoreCq = null, scoreMap = null)
                   .map(t => (f.qi, t._1, 0.0, 0.0))
-                case 1 => SearchKernel.matchShard(f.cq, f.keys, rows.iterator,
+                case 1 => SearchKernel.matchShard(f.cq, f.keys, view,
                     score = true, k = f.k, method = f.method,
                     scoreCq = f.scoreCq, scoreMap = f.scoreMap)
                   .map(t => (f.qi, t._1, t._2, t._2))
                 case _ => SearchKernel.wandShard(f.terms, f.dfs, f.ubs, nDocs,
-                    avgLen, f.k, rows.iterator)
+                    avgLen, f.k, view)
                   .map { case (id, s) => (f.qi, id, s, -s) } // sort asc = score desc
               }
             }
@@ -815,11 +826,12 @@ final class Searcher(spark: SparkSession, indexDir: String) {
         Some(postings.where(pred)
           .groupByKey(_.shard)
           .flatMapGroups { (shard: Int, it: Iterator[PostingRow]) =>
-            val rows = it.toArray
+            // shared term grouping across the batch (see msearchPlan kernel)
+            val view = new SearchKernel.ShardView(it)
             fs.iterator.map { case (qi, cq, keys) =>
               var n = 0L
-              val m = SearchKernel.matchShard(cq, keys, rows.iterator,
-                score = false, k = 0)
+              val m = SearchKernel.matchShard(cq, keys, view,
+                score = false, k = 0, method = 0, scoreCq = null, scoreMap = null)
               while (m.hasNext) { m.next(); n += 1 }
               (qi, n)
             }
@@ -923,11 +935,31 @@ object Searcher {
     final case class Addon(c: Long, op: String = "both") extends OrderKey
   }
 
-  /** Plan-cache capacity: past this many distinct query shapes, plans are
-    * built uncached (no eviction churn; a workload with >4096 distinct
-    * prepared shapes is ad-hoc, not repeated).
+  /** Default plan-cache capacity: the cache is access-ordered LRU, so past
+    * this many distinct query shapes the least-recently-used plan is
+    * evicted -- a shape-churning prepared workload keeps its hot set instead
+    * of degrading to permanent re-planning.
     */
   val MaxCachedPlans = 4096
+
+  /** Collision-safe cache key for one msearch spec: a variant tag + the
+    * structured constructor fields joined on \u0001, terminated by \u0002.
+    * (Keying on case-class toString would render Bm25(Seq("a, b"), k) and
+    * Bm25(Seq("a", "b"), k) identically -- two different batches could then
+    * share a cache slot and return the wrong cached plan.)
+    */
+  private[search] def specKey(sp: MsearchSpec): String = {
+    import MsearchSpec._
+    (sp match {
+      case Match(q) => key("M", q)
+      case Bm25(ts, k) => key("B" +: k.toString +: ts: _*)
+      case Cover(q, k, m) => key("C", q, k.toString, m.toString)
+      case MatchFields(fq) => key("MF" +: fq.flatMap(p => Seq(p._1, p._2)): _*)
+      case CoverFields(rf, rq, fl, k) =>
+        key(Seq("CF", rf, rq, k.toString) ++ fl.flatMap(p => Seq(p._1, p._2)): _*)
+      case Bm25Fields(f, ts, k) => key(Seq("BF", f, k.toString) ++ ts: _*)
+    }) + "\u0002"
+  }
 
   /** Collision-free cache key: args joined on \u0001 (cannot appear in
     * tsquery strings, terms, or rendered numbers).

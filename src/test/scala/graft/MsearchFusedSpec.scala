@@ -90,6 +90,38 @@ class MsearchFusedSpec extends AnyFunSuite {
     assert(got.size == qs.size)
   }
 
+  test("24-spec heterogeneous batch: every slot equals its solo query") {
+    import Searcher.MsearchSpec._
+    // serving-tier batch size: 8 boolean, 8 BM25, 6 cover, a prefix and a
+    // full-scan slot — exercises the shared per-shard ShardView across a
+    // batch where specs' term sets overlap heavily (common/rare7 appear in
+    // many specs) and partially (each tailN in only a few)
+    val matches = (0 until 8).map(i => Match(s"tail$i & even"))
+    val bm25s = (0 until 8).map(i => Bm25(Seq(s"tail$i", "common", "rare7"), 5 + i))
+    val covers = (0 until 6).map(i => Cover(s"common & tail${i + 2}", 4 + i))
+    val specs: Seq[Searcher.MsearchSpec] =
+      matches ++ bm25s ++ covers ++ Seq(Match("prefixed:*"), Match("!even"))
+    assert(specs.length == 24)
+    val got = searcher.msearch(specs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    specs.zipWithIndex.foreach {
+      case (Match(q), qi) =>
+        val solo = searcher.matchingDocs(q).collect().map(_.getLong(0)).toSet
+        assert(got.get(qi).map(_.map(_._2).toSet).getOrElse(Set.empty) == solo,
+          s"slot $qi Match($q)")
+      case (Bm25(ts, k), qi) =>
+        val solo = searcher.topKBm25(ts, k).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSet
+        assert(got(qi).map(t => (t._2, t._3)).toSet == solo, s"slot $qi Bm25($ts,$k)")
+      case (Cover(q, k, _), qi) =>
+        val solo = searcher.topKCover(q, k).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSet
+        assert(got(qi).map(t => (t._2, t._3)).toSet == solo, s"slot $qi Cover($q,$k)")
+      case (sp, qi) => fail(s"unexpected spec $sp at $qi")
+    }
+  }
+
   test("fused kernel executes once: shared exchange reused across branches") {
     import Searcher.MsearchSpec._
     val df = searcher.msearchPlan(Seq(

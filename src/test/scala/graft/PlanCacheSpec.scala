@@ -96,6 +96,35 @@ class PlanCacheSpec extends AnyFunSuite {
     assert(s.topKBm25Batch(Seq.empty).columns.toSeq === Seq("qi", "docId", "score"))
   }
 
+  test("LRU: hot shapes survive shape churn past the cap") {
+    val s = new Searcher(spark, idxDir, maxCachedPlans = 4)
+    val hot = s.matchingDocs("merge & partition")
+    for (i <- 0 until 12) {
+      s.matchingDocs(s"tok${i % 7} & alpha${i / 7}") // churn distinct shapes
+      // re-access between churn keeps the hot shape most-recently-used
+      assert(s.matchingDocs("merge & partition") eq hot, s"churn step $i")
+    }
+    // an evicted shape rebuilds into a fresh, still-correct plan
+    val rebuilt = s.matchingDocs("tok0 & alpha0")
+    assert(rebuilt.collect().length >= 0)
+    val expect = (0 until 500).count(_ % 5 == 0)
+    assert(s.matchingDocs("merge & partition").collect().length === expect)
+  }
+
+  test("msearch cache keys are structural, not toString") {
+    val s = new Searcher(spark, idxDir)
+    import Searcher.MsearchSpec._
+    // Seq("merge, sort") and Seq("merge", "sort") render identically via
+    // toString — structural keys must keep them distinct
+    val a = s.msearch(Seq(Bm25(Seq("merge, sort"), 5)))
+    val b = s.msearch(Seq(Bm25(Seq("merge", "sort"), 5)))
+    assert(!(a eq b))
+    assert(a.collect().isEmpty) // "merge, sort" is not a real term
+    val soloTop = s.topKBm25(Seq("merge", "sort"), 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(b.collect().map(r => (r.getLong(1), r.getDouble(2))).toSet == soloTop)
+  }
+
   test("concurrent clients race on the cache safely and correctly") {
     val s = new Searcher(spark, idxDir)
     val expect = (0 until 500).count(_ % 5 == 0).toLong
