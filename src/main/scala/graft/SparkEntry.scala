@@ -121,6 +121,23 @@ object SparkEntry {
       * n_chars attached + alt-order layout so ranked/ordered scans
       * (topKCoverMulti / topKAddonMulti) are served too.
       */
+    /** signed-addon + empty-doc variant: every (n_chars %% 7 == 0) doc's
+      * text is nulled (deterministic; indexes as an empty doc), attach =
+      * n_chars - 600 so roughly half the addon values are NEGATIVE — the
+      * reference's signed ordered scans (sql/int4.sql:7-19 orders (-2..3)
+      * by `<=> 0`) through the alt-order layout.
+      */
+    def searcherS(s: SparkSession, sfDir: String): Searcher =
+      cache.computeIfAbsent(s"$sfDir#signed", _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+        val corpus = documents(s, sfDir)
+          .withColumn("text_n",
+            when(pmod(col("n_chars"), lit(7)) === 0, lit(null)).otherwise(col("text")))
+          .withColumn("n_signed", col("n_chars") - 600)
+        IndexBuilder.build(s, corpus, "doc_id", "text_n", dir,
+          IndexBuilder.Params(nShards = 8, attach = Some("n_signed"), altOrder = true))
+        new Searcher(s, dir)
+      })
     def searcherM(s: SparkSession, sfDir: String): Searcher =
       cache.computeIfAbsent(s"$sfDir#multi", _ => {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
@@ -268,6 +285,8 @@ object SparkEntry {
     safely("searcherH")(IndexCache.searcherH(s, dir).count("zzzgraftwarm"))
     safely("alt layout")(
       IndexCache.searcher(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count())
+    safely("searcherS")(
+      IndexCache.searcherS(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count())
     safely("searcherM") {
       val m = IndexCache.searcherM(s, dir)
       m.countMulti(Seq("text" -> "zzzgraftwarm"))
@@ -598,6 +617,31 @@ object SparkEntry {
       IndexCache.searcher(s, dir).rangeAddon("merge & window", 400L, 700L)
         .select(col("docId").as("doc_id"), col("addon").as("n_chars"))
         .orderBy("n_chars", "doc_id")
+    }),
+    "ft_addon_signed" -> ((s, dir) => {
+      // NEGATIVE addons through the alt-order fast path: attach is the
+      // signed n_chars - 600 (reference orders signed scalars by <=> 0,
+      // sql/int4.sql:7-19); nulled-text docs (n_chars % 7 == 0) index as
+      // empty docs and cannot match
+      IndexCache.searcherS(s, dir).topKAddon("merge & window", 0L, "both", 10)
+        .select(col("docId").as("doc_id"), col("addon").as("n_signed"),
+          col("distance").cast("long").as("dist"))
+    }),
+    "ft_addon_signed_or" -> ((s, dir) => {
+      // same signed index through the NON-alt fallback (an OR query has no
+      // required keys, so altServes is false) with a negative constant —
+      // both execution paths must order signed addons identically
+      IndexCache.searcherS(s, dir).topKAddon("merge | window", -50L, "both", 10)
+        .select(col("docId").as("doc_id"), col("addon").as("n_signed"),
+          col("distance").cast("long").as("dist"))
+    }),
+    "ft_empty_count" -> ((s, dir) => {
+      // empty/NULL-column docs counted from the INDEX via the reserved
+      // placeholder key (INCLUDE_EMPTY, src/rumscan.c:144-151) — the plan
+      // is a one-key postings scan, no corpus read; searcherS nulls text
+      // for every n_chars % 7 == 0 doc
+      IndexCache.searcherS(s, dir).matchingEmpty()
+        .agg(count(lit(1)).as("cnt"))
     }),
     "ft_df" -> ((s, dir) => {
       IndexCache.searcher(s, dir)
@@ -1437,6 +1481,24 @@ object SparkEntry {
         |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
         |  AND d.n_chars BETWEEN 400 AND 700
         |ORDER BY d.n_chars, d.doc_id""".stripMargin),
+    "ft_addon_signed" -> (ToksCte +
+      """SELECT d.doc_id, d.n_chars - 600 AS n_signed,
+        |  CAST(abs(d.n_chars - 600) AS BIGINT) AS dist
+        |FROM documents d
+        |WHERE d.n_chars % 7 <> 0
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
+        |ORDER BY dist, d.doc_id LIMIT 10""".stripMargin),
+    "ft_empty_count" ->
+      "SELECT count(*) AS cnt FROM documents WHERE n_chars % 7 = 0",
+    "ft_addon_signed_or" -> (ToksCte +
+      """SELECT d.doc_id, d.n_chars - 600 AS n_signed,
+        |  CAST(abs(d.n_chars - 550) AS BIGINT) AS dist
+        |FROM documents d
+        |WHERE d.n_chars % 7 <> 0
+        |  AND (d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |       OR d.doc_id IN (SELECT doc_id FROM toks WHERE term='window'))
+        |ORDER BY dist, d.doc_id LIMIT 10""".stripMargin),
     "ft_df" -> (ToksCte +
       """SELECT term, count(DISTINCT doc_id) AS df FROM toks
         |WHERE term IN ('merge','window','vector','the','zzzabsent')

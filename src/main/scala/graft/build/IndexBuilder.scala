@@ -82,12 +82,24 @@ object IndexBuilder {
     * both before and after the docs table gained `uniq` (the distinct-lexeme
     * count UNIQ rank norms divide by) — so v4 pins the uniq-carrying schema
     * and ALL v3 indexes require rebuild, including ones that happen to carry
-    * the column. Readers and incremental writers refuse other versions up
-    * front — a uniq-less index must be rebuilt, not half-read (a missing
-    * column would otherwise surface as a raw AnalysisException mid-query,
-    * or an append would mix docs schemas).
+    * the column. Version 5 adds the reserved empty-item placeholder key
+    * ([[EmptyToken]]): a v4 index would silently answer `matchingEmpty`
+    * with zero rows, so it requires rebuild too. Readers and incremental
+    * writers refuse other versions up front — a missing column/key must
+    * surface as "rebuild required", not a wrong answer mid-query.
     */
-  val CurrentFormat = 4
+  val CurrentFormat = 5
+
+  /** Reserved entry key indexed for a document whose value tokenizes to
+    * NOTHING (empty or NULL text) — the reference's placeholder-key
+    * categories (RUM_CAT_EMPTY_ITEM / NULL_KEY, src/rum.h:205-211), which
+    * make "match docs with empty/null column" servable from the index
+    * (INCLUDE_EMPTY scan mode, src/rumscan.c:144-151) instead of a corpus
+    * scan. The \u0000 prefix cannot collide with tokenizer output
+    * ([a-z0-9]+ runs) and sorts before every real term, so term-range
+    * prefix predicates never sweep it in.
+    */
+  val EmptyToken = "\u0000empty"
 
   def requireFormat(meta: IndexMeta): Unit =
     require(meta.formatVersion == CurrentFormat,
@@ -112,13 +124,15 @@ object IndexBuilder {
       /** also maintain the (addon, docId)-ordered posting copy — RUM's
         * order_by_attach layout (src/rumdatapage.c:327-360) serving
         * `ORDER BY addon <op> c LIMIT k` with early termination
-        * ([[graft.search.AltKernel]]); requires `attach` and non-negative
-        * addon values
+        * ([[graft.search.AltKernel]]); requires `attach`. Addon values may
+        * be any signed long: the key-slot codec delta-encodes signed order
+        * with wrap-safe gaps (VarByte.encodeDeltas), so negative scalars
+        * and epoch-spanning timestamps order correctly.
         */
       altOrder: Boolean = false) {
     def hash: String = {
-      // v5: docs table gains uniq (distinct-lexeme count for UNIQ norms)
-      val s = s"v5|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}|$keyKind|$altOrder"
+      // v6: empty-item placeholder key (format 5)
+      val s = s"v6|$nShards|$blockSize|$maxPostingsPerChunk|$tokenizer|${attach.getOrElse("")}|$keyKind|$altOrder"
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -257,14 +271,22 @@ object IndexBuilder {
     val hashKeys = params.keyKind == "hash"
     val tokUdf = udf { (text: String) =>
       val occs = tokenizerFn(tokName)(text)
-      var len = 0
-      var i = 0
-      while (i < occs.length) { len += occs(i).tf; i += 1 }
-      occs.map { o =>
-        val raw = keyPrefix + o.term
+      if (occs.isEmpty) {
+        // token-less (empty/NULL) value: index the reserved placeholder key
+        // so empty-item queries are index-servable (src/rumscan.c:144-151)
+        val raw = keyPrefix + EmptyToken
         val key = if (hashKeys) graft.core.HashKeys.hex(raw) else raw
-        val (cp, cw) = PositionCodec.cap(o.positions, o.wclasses)
-        TermEntry(key, o.tf, len, PositionCodec.encode(cp, cw))
+        Array(TermEntry(key, 0, 0, Array.emptyByteArray))
+      } else {
+        var len = 0
+        var i = 0
+        while (i < occs.length) { len += occs(i).tf; i += 1 }
+        occs.map { o =>
+          val raw = keyPrefix + o.term
+          val key = if (hashKeys) graft.core.HashKeys.hex(raw) else raw
+          val (cp, cw) = PositionCodec.cap(o.positions, o.wclasses)
+          TermEntry(key, o.tf, len, PositionCodec.encode(cp, cw))
+        }
       }
     }
     todo
@@ -332,6 +354,7 @@ object IndexBuilder {
           private var pending: List[RunRow] = Nil
           private var cur: (Int, String) = null
           private var builder: PostingListBuilder = null
+          private var hasLast = false
           private var lastKey = Long.MinValue
           private var lastSub = Long.MinValue
 
@@ -350,16 +373,17 @@ object IndexBuilder {
               if (cur == null || cur._1 != shard || cur._2 != term) {
                 closeRun()
                 cur = (shard, term)
-                lastKey = Long.MinValue
-                lastSub = Long.MinValue
+                hasLast = false
               }
               // dedup keep-first, layout-aware to match mergeCells: primary
               // dedups on docId alone (a re-inserted doc with a changed addon
               // must not trip the builder's strictly-increasing key check),
               // alt dedups on the (addon, docId) composite
-              val dup = if (alt) key == lastKey && sub == lastSub else key == lastKey
+              val dup = hasLast &&
+                (if (alt) key == lastKey && sub == lastSub else key == lastKey)
               if (!dup) {
                 builder.add(key, tf, len, pos, sub)
+                hasLast = true
                 lastKey = key
                 lastSub = sub
               }
@@ -415,6 +439,7 @@ object IndexBuilder {
           builder = new PostingListBuilder(blockSize, allowTies = alt)
           nInChunk = 0
         }
+        var hasLast = false
         var lastKey = Long.MinValue
         var lastSub = Long.MinValue
         while (cursors.exists(!_.done)) {
@@ -424,16 +449,18 @@ object IndexBuilder {
           var i = 0
           while (i < cursors.length) {
             val cu = cursors(i)
-            if (!cu.done && (cu.docId < minKey ||
+            if (!cu.done && (minIdx < 0 || cu.docId < minKey ||
                 (alt && cu.docId == minKey && cu.addon < minSub))) {
               minKey = cu.docId; minSub = cu.addon; minIdx = i
             }
             i += 1
           }
           val c = cursors(minIdx)
-          val dup = if (alt) minKey == lastKey && c.addon == lastSub else minKey == lastKey
+          val dup = hasLast &&
+            (if (alt) minKey == lastKey && c.addon == lastSub else minKey == lastKey)
           if (!dup) {
             builder.add(minKey, c.tf, c.docLen, c.rawPositions, c.addon)
+            hasLast = true
             lastKey = minKey
             lastSub = c.addon
             nInChunk += 1

@@ -17,7 +17,13 @@ import graft.query.{CompiledQuery, TsEval}
   * Block reinterpretation (see [[graft.core.PostingListBuilder]] allowTies):
   * the key slot holds the addon (ascending, ties = equal addons, docId
   * ascending within a tie run), the addon slot holds the docId.
-  * Addons must be non-negative (varbyte unsigned order).
+  * Addons may be ANY signed long (negative scalars, epoch-spanning
+  * timestamps — reference sql/int4.sql:7-19 orders (-2..3) by `<=> 0`):
+  * the key-slot codec delta-encodes the SIGNED ascending sequence with
+  * wrap-safe gaps ([[graft.core.VarByte.encodeDeltas]]) and every
+  * comparison in this kernel is signed. Distances saturate at
+  * Long.MaxValue ([[satSub]]); the non-alt fallback applies the same cap
+  * so both paths tie-break identically beyond the representable range.
   */
 object AltKernel extends Serializable {
 

@@ -263,6 +263,9 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * "left" = `<=|` (only a<=c finite), "right" = `|=>` (only a>=c).
     * Distance is in raw addon units; ties break on docId like RUM's TID
     * tie-break. One-sided misses sort last with infinite distance.
+    * Addons and `c` may be ANY signed long (negative scalars, epoch-
+    * spanning timestamps — reference sql/int4.sql:7-19); distances beyond
+    * Long.MaxValue saturate identically on both execution paths.
     */
   /** True when the alt-order layout can serve this query: layout present
     * and candidates drivable from required keys (prefix keys included —
@@ -312,15 +315,20 @@ final class Searcher(spark: SparkSession, indexDir: String,
       val base = matchingWithAddonC(cq)
       // exact decimal distance (long subtraction overflows for extreme
       // constants; double loses sub-256 resolution past 2^53); one-sided
-      // misses are null and filtered, matching the alt path's finite-only
+      // misses are null and filtered, matching the alt path's finite-only.
+      // Saturated at Long.MaxValue like the alt kernel's satSub, so both
+      // paths tie-break identically beyond the representable range.
       val a = col("addon").cast("decimal(20,0)")
       val cc = lit(c).cast("decimal(20,0)")
-      val dist = op match {
+      val raw = op match {
         case "both" => abs(a - cc)
         case "left" => when(col("addon") <= c, cc - a).otherwise(lit(null))
         case "right" => when(col("addon") >= c, a - cc).otherwise(lit(null))
         case other => throw new IllegalArgumentException(s"op: $other")
       }
+      // least() ignores nulls — keep the one-sided-miss null sentinel
+      val dist = when(raw.isNull, lit(null))
+        .otherwise(least(raw, lit(Long.MaxValue).cast("decimal(20,0)")))
       base.withColumn("distance", dist)
         .where(col("distance").isNotNull)
         .orderBy(col("distance").asc, col("docId").asc)
@@ -381,16 +389,18 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val distCols = orderKeys.zipWithIndex.map {
       case (OrderKey.Rank(_), i) => col("distance").as(s"d$i")
       case (OrderKey.Addon(c, op), i) =>
-        // exact decimal distance — same arithmetic as topKAddon's fallback
+        // exact decimal distance — same saturating arithmetic as topKAddon
         val a = col("addon").cast("decimal(20,0)")
         val cc = lit(c).cast("decimal(20,0)")
-        val d = op match {
+        val raw = op match {
           case "both" => abs(a - cc)
           case "left" => when(col("addon") <= c, cc - a).otherwise(lit(null))
           case "right" => when(col("addon") >= c, a - cc).otherwise(lit(null))
           case other => throw new IllegalArgumentException(s"op: $other")
         }
-        d.as(s"d$i")
+        when(raw.isNull, lit(null))
+          .otherwise(least(raw, lit(Long.MaxValue).cast("decimal(20,0)")))
+          .as(s"d$i")
     }
     val named = base.select(col("docId") +: distCols: _*)
     val finite = orderKeys.indices.map(i => col(s"d$i").isNotNull).reduce(_ && _)
@@ -841,6 +851,40 @@ final class Searcher(spark: SparkSession, indexDir: String,
       .groupBy("qi")
       .agg(sum("partial").as("cnt"))
   }
+
+  /** docIds whose indexed value tokenizes to NOTHING (empty or NULL
+    * column) — served from the reserved placeholder key the build indexes
+    * for token-less docs ([[graft.build.IndexBuilder.EmptyToken]]; the
+    * reference's placeholder-key categories src/rum.h:205-211 and
+    * INCLUDE_EMPTY scan mode src/rumscan.c:144-151), NOT a corpus scan:
+    * the plan is a postings scan with one pushed-down key, like any other
+    * single-term match. On a multi-column index pass the field whose
+    * emptiness is being asked about.
+    */
+  def matchingEmpty(field: Option[String] = None): DataFrame = {
+    val raw = field match {
+      case Some(f) =>
+        require(meta.fields.split(",").contains(f),
+          s"unknown field '$f' (have ${meta.fields})")
+        graft.build.IndexBuilder.fieldKey(f, graft.build.IndexBuilder.EmptyToken)
+      case None =>
+        require(meta.fields.isEmpty,
+          s"multi-column index (fields=${meta.fields}): pass the field")
+        graft.build.IndexBuilder.EmptyToken
+    }
+    cached("matchEmpty" + Searcher.key(raw)) {
+      postings.where(col("term") === keyOf(raw))
+        .flatMap { row =>
+          val cur = new PostingCursor(Iterator(row.blocks))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (!cur.done) { out += cur.docId; cur.next() }
+          out.iterator
+        }.toDF("docId")
+    }
+  }
+
+  def countEmpty(field: Option[String] = None): Long =
+    runCount("countEmpty" + Searcher.key(field.getOrElse("")), matchingEmpty(field))
 
   /** Decoded postings of one term: (doc_id, tf) — the bitmap-scan shape
     * plus payload-derived tf; used for verification and as a building

@@ -93,6 +93,81 @@ class AltOrderSpec extends AnyFunSuite {
     assert(res.visited <= 30, s"visited=${res.visited} for k=5 (matches in shard ≈ $matchesInShard)")
   }
 
+  // ---- signed addons (reference sql/int4.sql:7-19 orders (-2..3) by
+  // `<=> 0`; timestamp distances span the epoch, src/btree_rum.c:513-517) ----
+
+  /** signed addon: scrambled, tied (÷3), centered so ~half are negative */
+  private def signedAddonOf(i: Int): Long =
+    (((i * 7919) % 1200) / 3).toLong * 10L - 2000L
+
+  private lazy val (signedAlt, signedPlain) = {
+    val docs = (0 until 1200).map(i => (i.toLong, text(i), signedAddonOf(i)))
+      .toDF("doc_id", "text", "d")
+    val dA = java.nio.file.Files.createTempDirectory("sgnalt").toString
+    val dP = java.nio.file.Files.createTempDirectory("sgnplain").toString
+    IndexBuilder.build(spark, docs, "doc_id", "text", dA,
+      IndexBuilder.Params(nShards = 4, blockSize = 64, attach = Some("d"), altOrder = true))
+    IndexBuilder.build(spark, docs, "doc_id", "text", dP,
+      IndexBuilder.Params(nShards = 4, blockSize = 64, attach = Some("d")))
+    (new Searcher(spark, dA), new Searcher(spark, dP))
+  }
+
+  test("signed addons: alt path equals fallback across ops and constants") {
+    for (op <- Seq("both", "left", "right");
+         c <- Seq(0L, -2000L, -1L, 1234L, -1995L);
+         q <- Seq("every & half", "px:* & half")) {
+      val a = rows(signedAlt.topKAddon(q, c, op, 9))
+      val p = rows(signedPlain.topKAddon(q, c, op, 9))
+      assert(a == p, s"op=$op c=$c q='$q': alt=$a plain=$p")
+      assert(a.nonEmpty, s"op=$op c=$c q='$q' should match")
+    }
+    // negative-range scan parity
+    val ra = signedAlt.rangeAddon("every & half", -1500L, -200L)
+      .orderBy("docId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rp = signedPlain.rangeAddon("every & half", -1500L, -200L)
+      .orderBy("docId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ra == rp && ra.nonEmpty)
+    assert(ra.forall(t => t._2 >= -1500L && t._2 <= -200L))
+  }
+
+  test("signed addons vs brute force (golden, incl. negative constant)") {
+    val all = (0 until 1200).map(i => (i.toLong, text(i), signedAddonOf(i)))
+    def brute(c: Long, k: Int): Seq[(Long, Long, Double)] =
+      all.filter(_._2.split(" ").toSet.contains("half"))
+        .map(t => (t._1, t._3, math.abs(t._3 - c).toDouble))
+        .sortBy(t => (t._3, t._1)).take(k)
+    assert(rows(signedAlt.topKAddon("half", -700L, "both", 8)) == brute(-700L, 8))
+    assert(rows(signedPlain.topKAddon("half", -700L, "both", 8)) == brute(-700L, 8))
+  }
+
+  test("extreme addons/constants: saturating distances agree on both paths") {
+    // addons at the long extremes; constants likewise — |a-c| overflows the
+    // long range, both paths must saturate at Long.MaxValue and tie-break
+    // on docId identically
+    val ext = Seq(
+      (0L, "every half", Long.MinValue + 7),
+      (1L, "every half", Long.MaxValue - 3),
+      (2L, "every half", -5L),
+      (3L, "every half", 5L),
+      (4L, "every half", 0L),
+      (5L, "every", 99L)).toDF("doc_id", "text", "d")
+    val dA = java.nio.file.Files.createTempDirectory("extalt").toString
+    val dP = java.nio.file.Files.createTempDirectory("extplain").toString
+    IndexBuilder.build(spark, ext, "doc_id", "text", dA,
+      IndexBuilder.Params(nShards = 2, attach = Some("d"), altOrder = true))
+    IndexBuilder.build(spark, ext, "doc_id", "text", dP,
+      IndexBuilder.Params(nShards = 2, attach = Some("d")))
+    val sA = new Searcher(spark, dA)
+    val sP = new Searcher(spark, dP)
+    for (op <- Seq("both", "left", "right");
+         c <- Seq(Long.MinValue, Long.MinValue + 1, -3L, 0L, 4L,
+           Long.MaxValue - 1, Long.MaxValue)) {
+      val a = rows(sA.topKAddon("every & half", c, op, 5))
+      val p = rows(sP.topKAddon("every & half", c, op, 5))
+      assert(a == p, s"op=$op c=$c: alt=$a plain=$p")
+    }
+  }
+
   test("alt layout maintained through append and compact") {
     val docs = (0 until 600).map(i => (i.toLong, text(i), addonOf(i))).toDF("doc_id", "text", "d")
     val more = (600 until 900).map(i => (i.toLong, text(i), addonOf(i % 600) + 5L)).toDF("doc_id", "text", "d")

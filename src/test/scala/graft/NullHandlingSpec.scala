@@ -34,6 +34,69 @@ class NullHandlingSpec extends AnyFunSuite {
     assert(lens == Map(1L -> 2, 2L -> 0, 3L -> 0))
   }
 
+  test("empty/null docs are index-servable via the placeholder key") {
+    val dir = tmp()
+    val docs = Seq(
+      (1L, "alpha beta", 10L),
+      (2L, null.asInstanceOf[String], 20L),
+      (3L, "", 30L),
+      (4L, "...!!!", 40L), // tokenizes to nothing: also empty
+      (5L, "beta", 50L))
+    IndexBuilder.build(spark, docs.toDF("id", "t", "w"), "id", "t", dir,
+      IndexBuilder.Params(nShards = 2, attach = Some("w")))
+    val s = new Searcher(spark, dir)
+    assert(s.matchingEmpty().collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    assert(s.countEmpty() == 3L)
+    // the plan reads the postings table only — no docs-table corpus scan
+    val plan = s.matchingEmpty().queryExecution.executedPlan.toString
+    assert(plan.contains("postings") && !plan.contains("/docs"))
+    // placeholder stays invisible to term, prefix and negation queries
+    assert(s.matchingDocs("beta").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    assert(s.count("a:*") == 1L)
+    assert(s.matchingDocs("!beta").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+  }
+
+  test("placeholder survives append, delete and compact") {
+    val dir = tmp()
+    val docs = Seq((1L, "alpha", 1L), (2L, "", 2L))
+    IndexBuilder.build(spark, docs.toDF("id", "t", "w"), "id", "t", dir,
+      IndexBuilder.Params(nShards = 2, attach = Some("w")))
+    IndexBuilder.append(spark,
+      Seq((3L, null.asInstanceOf[String], 3L), (4L, "beta", 4L)).toDF("id", "t", "w"),
+      "id", "t", dir, autoCompactRuns = 0)
+    assert(new Searcher(spark, dir).matchingEmpty().collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    IndexBuilder.delete(spark, dir, Seq(2L).toDF("id"))
+    assert(new Searcher(spark, dir).matchingEmpty().collect()
+      .map(_.getLong(0)).toSet == Set(3L))
+    IndexBuilder.compact(spark, dir)
+    assert(new Searcher(spark, dir).countEmpty() == 1L)
+  }
+
+  test("multi-column: per-field empty placeholders") {
+    val dir = tmp()
+    val docs = Seq(
+      (1L, "alpha", "en"),
+      (2L, "", "de"),
+      (3L, "beta", null.asInstanceOf[String]))
+    IndexBuilder.buildFields(spark, docs.toDF("id", "a", "b"), "id",
+      Seq("fa" -> "a", "fb" -> "b"), dir, IndexBuilder.Params(nShards = 2))
+    val s = new Searcher(spark, dir)
+    assert(s.matchingEmpty(Some("fa")).collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(s.matchingEmpty(Some("fb")).collect().map(_.getLong(0)).toSet == Set(3L))
+    intercept[IllegalArgumentException](s.matchingEmpty(Some("nope")))
+    intercept[IllegalArgumentException](s.matchingEmpty(None))
+  }
+
+  test("hash-keyed index: placeholder key is hashed like any other") {
+    val dir = tmp()
+    val docs = Seq((1L, "alpha"), (2L, ""))
+    IndexBuilder.build(spark, docs.toDF("id", "t"), "id", "t", dir,
+      IndexBuilder.Params(nShards = 2, keyKind = "hash"))
+    val s = new Searcher(spark, dir)
+    assert(s.matchingEmpty().collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("null addon fails fast with the column name") {
     val docs = Seq(
       (1L, "alpha", java.lang.Long.valueOf(10L)),
