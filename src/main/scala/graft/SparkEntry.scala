@@ -138,6 +138,21 @@ object SparkEntry {
           IndexBuilder.Params(nShards = 8, attach = Some("n_signed"), altOrder = true))
         new Searcher(s, dir)
       })
+    /** events variant: docId = event_id, text = props (JSON payload),
+      * attach = epoch-µs(ts) via [[graft.build.AddonUnits.timestampMicros]]
+      * — timestamp-typed ordered scans (the reference's timestamp distance
+      * opclass, btree_rum.c:513-517; exact µs here, signed so pre-1970
+      * values order correctly).
+      */
+    def searcherT(s: SparkSession, sfDir: String): Searcher =
+      cache.computeIfAbsent(s"$sfDir#events", _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+        val ev = s.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts_us", graft.build.AddonUnits.timestampMicros(col("ts")))
+        IndexBuilder.build(s, ev, "event_id", "props", dir,
+          IndexBuilder.Params(nShards = 8, attach = Some("ts_us"), altOrder = true))
+        new Searcher(s, dir)
+      })
     def searcherM(s: SparkSession, sfDir: String): Searcher =
       cache.computeIfAbsent(s"$sfDir#multi", _ => {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
@@ -287,6 +302,8 @@ object SparkEntry {
       IndexCache.searcher(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count())
     safely("searcherS")(
       IndexCache.searcherS(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count())
+    safely("searcherT")(
+      IndexCache.searcherT(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count())
     safely("searcherM") {
       val m = IndexCache.searcherM(s, dir)
       m.countMulti(Seq("text" -> "zzzgraftwarm"))
@@ -633,6 +650,16 @@ object SparkEntry {
       // both execution paths must order signed addons identically
       IndexCache.searcherS(s, dir).topKAddon("merge | window", -50L, "both", 10)
         .select(col("docId").as("doc_id"), col("addon").as("n_signed"),
+          col("distance").cast("long").as("dist"))
+    }),
+    "ft_addon_ts" -> ((s, dir) => {
+      // WHERE props @@ '69' ORDER BY ts <=> '2024-01-15' LIMIT 10 over the
+      // events table — timestamp-typed addon in exact epoch-µs
+      // (AddonUnits.timestampMicros), served from the alt-order layout
+      val c = graft.build.AddonUnits.timestampMicros(
+        java.time.Instant.parse("2024-01-15T00:00:00Z"))
+      IndexCache.searcherT(s, dir).topKAddon("69", c, "both", 10)
+        .select(col("docId").as("event_id"), col("addon").as("ts_us"),
           col("distance").cast("long").as("dist"))
     }),
     "ft_empty_count" -> ((s, dir) => {
@@ -1491,6 +1518,12 @@ object SparkEntry {
         |ORDER BY dist, d.doc_id LIMIT 10""".stripMargin),
     "ft_empty_count" ->
       "SELECT count(*) AS cnt FROM documents WHERE n_chars % 7 = 0",
+    "ft_addon_ts" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  CAST(abs(epoch_us(ts) - 1705276800000000) AS BIGINT) AS dist
+        |FROM events
+        |WHERE list_contains(regexp_extract_all(lower(props), '[a-z0-9]+'), '69')
+        |ORDER BY dist, event_id LIMIT 10""".stripMargin,
     "ft_addon_signed_or" -> (ToksCte +
       """SELECT d.doc_id, d.n_chars - 600 AS n_signed,
         |  CAST(abs(d.n_chars - 550) AS BIGINT) AS dist

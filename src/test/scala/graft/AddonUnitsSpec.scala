@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.{AddonUnits, IndexBuilder}
+import graft.search.Searcher
+
+/** Typed addon-unit transforms (the long-castable mapping for the
+  * reference's scalar opclass families, btree_rum.c:249-323,513-517):
+  * round-trips, order preservation, overflow behavior, and an end-to-end
+  * timestamp-ordered scan spanning the epoch (signed micros).
+  */
+class AddonUnitsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("floatOrderedBits preserves IEEE-754 value order exactly") {
+    val vals = Seq(
+      Double.NegativeInfinity, -1.7e308, -42.5, -1.0, -java.lang.Double.MIN_VALUE,
+      -0.0, 0.0, java.lang.Double.MIN_VALUE, 1e-300, 0.5, 1.0, 42.5, 1.7e308,
+      Double.PositiveInfinity)
+    val mapped = vals.map(AddonUnits.floatOrderedBits)
+    assert(mapped == mapped.sorted, s"order broken: ${vals.zip(mapped)}")
+    // strictly increasing except the -0.0/0.0 pair (distinct longs, adjacent)
+    mapped.sliding(2).foreach { case Seq(a, b) => assert(a < b) }
+    // NaN sorts above +Inf (one canonical class)
+    assert(AddonUnits.floatOrderedBits(Double.NaN) >
+      AddonUnits.floatOrderedBits(Double.PositiveInfinity))
+    // round-trip
+    vals.foreach { v =>
+      val back = AddonUnits.floatFromOrderedBits(AddonUnits.floatOrderedBits(v))
+      assert(back == v || (v == -0.0 && back == -0.0),
+        s"$v -> $back")
+    }
+  }
+
+  test("floatOrderedBits Column twin agrees with the scalar twin") {
+    val vals = Seq(-3.25, -0.0, 0.0, 1.5, 9e300, Double.NegativeInfinity)
+    val got = vals.toDF("x")
+      .select(AddonUnits.floatOrderedBits(org.apache.spark.sql.functions.col("x")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == vals.map(AddonUnits.floatOrderedBits))
+    // null stays null
+    val n = Seq[java.lang.Double](null).toDF("x")
+      .select(AddonUnits.floatOrderedBits(org.apache.spark.sql.functions.col("x")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("scaledLong: exact scaling, HALF_UP rounding, overflow raises") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq(12.34, -0.005, 99.999).toDF("x")
+      .select(AddonUnits.scaledLong(col("x"), 2)).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1234L, -1L, 10000L), got) // -0.5 -> HALF_UP (away from 0) -> -1
+    assert(AddonUnits.scaledLong(BigDecimal("12.34"), 2) == 1234L)
+    assert(AddonUnits.scaledLong(BigDecimal("-12.345"), 2) == -1235L)
+    val ex = intercept[Exception] {
+      Seq(1e30).toDF("x").select(AddonUnits.scaledLong(col("x"), 2)).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else (t.getMessage + "") :: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("overflows long")), msgs(ex).mkString("|"))
+  }
+
+  test("timestampMicros: signed pre-1970, Column and Instant twins agree") {
+    import org.apache.spark.sql.functions.col
+    val instants = Seq(
+      "1955-11-05T06:15:00Z", "1969-12-31T23:59:59.999999Z",
+      "1970-01-01T00:00:00Z", "2024-01-15T12:34:56.789Z")
+      .map(java.time.Instant.parse)
+    assert(AddonUnits.timestampMicros(instants(0)) < 0L) // pre-epoch: negative
+    assert(AddonUnits.timestampMicros(instants(1)) == -1L)
+    assert(AddonUnits.timestampMicros(instants(2)) == 0L)
+    val got = instants.map(i => java.sql.Timestamp.from(i)).toDF("ts")
+      .select(AddonUnits.timestampMicros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == instants.map(AddonUnits.timestampMicros))
+  }
+
+  test("end-to-end: epoch-spanning timestamp-ordered scan (alt + fallback)") {
+    val base = java.time.Instant.parse("1970-01-01T00:00:00Z")
+    // timestamps from 1969-12-29 to 1970-01-03 — addons cross zero
+    val docs = (0 until 600).map { i =>
+      val ts = base.plusSeconds(((i * 7919) % 600 - 300) * 900L)
+      (i.toLong, "every " + (if (i % 2 == 0) "half " else "") + s"tail${i % 5}",
+        java.sql.Timestamp.from(ts))
+    }
+    val df = docs.toDF("doc_id", "text", "ts")
+      .withColumn("ts_us", AddonUnits.timestampMicros(org.apache.spark.sql.functions.col("ts")))
+    val dA = java.nio.file.Files.createTempDirectory("tsalt").toString
+    val dP = java.nio.file.Files.createTempDirectory("tsplain").toString
+    IndexBuilder.build(spark, df, "doc_id", "text", dA,
+      IndexBuilder.Params(nShards = 2, attach = Some("ts_us"), altOrder = true))
+    IndexBuilder.build(spark, df, "doc_id", "text", dP,
+      IndexBuilder.Params(nShards = 2, attach = Some("ts_us")))
+    val sA = new Searcher(spark, dA)
+    val sP = new Searcher(spark, dP)
+    val c = AddonUnits.timestampMicros(java.time.Instant.parse("1969-12-31T18:00:00Z"))
+    assert(c < 0L)
+    def brute(k: Int): Seq[(Long, Long, Double)] =
+      docs.filter(_._2.contains("half"))
+        .map(t => (t._1, AddonUnits.timestampMicros(t._3.toInstant),
+          math.abs(AddonUnits.timestampMicros(t._3.toInstant) - c).toDouble))
+        .sortBy(t => (t._3, t._1)).take(k)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(sA.topKAddon("every & half", c, "both", 8)) == brute(8))
+    assert(rows(sP.topKAddon("every & half", c, "both", 8)) == brute(8))
+  }
+}
