@@ -222,16 +222,9 @@ object IndexBuilder {
     case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
   }
 
-  /** Attached-column value, guarded: a NULL (or a value the long cast
-    * nulls out) would otherwise surface mid-job as an opaque encoder
-    * NOT_NULL_ASSERT_VIOLATION; fail with an actionable message instead.
-    * Addon semantics are non-nullable by design (distances/ranges over the
-    * payload) — fill or filter nulls before indexing. Null TEXT needs no
-    * guard: it indexes as an empty document.
-    */
-  /** docId, guarded like the addon: ids are the index's primary key, so a
-    * null (or uncastable) id is a data error surfaced with its column name
-    * rather than an encoder assertion deep in a build stage.
+  /** docId, guarded: ids are the index's primary key, so a null (or
+    * uncastable) id is a data error surfaced with its column name rather
+    * than an encoder assertion deep in a build stage.
     */
   private def docIdColOf(docIdCol: String) =
     when(col(docIdCol).cast("long").isNull,
@@ -239,6 +232,13 @@ object IndexBuilder {
         "to long; clean ids before indexing")))
       .otherwise(col(docIdCol).cast("long")).as("docId")
 
+  /** Attached-column value, guarded: a NULL (or a value the long cast
+    * nulls out) would otherwise surface mid-job as an opaque encoder
+    * NOT_NULL_ASSERT_VIOLATION; fail with an actionable message instead.
+    * Addon semantics are non-nullable by design (distances/ranges over the
+    * payload) — fill or filter nulls before indexing. Null TEXT needs no
+    * guard: it indexes as an empty document.
+    */
   private def addonColOf(attach: Option[String], docId: Column) = attach
     .map(a => when(col(a).isNull || col(a).cast("long").isNull,
         raise_error(concat(lit(s"attach column '$a' is null or not castable " +
@@ -506,7 +506,8 @@ object IndexBuilder {
                       lastBatchId: Long = -1L, fields: String = "",
                       dataFiles: Map[String, List[String]] = Map.empty,
                       shardMs: Map[Int, Long] = Map.empty,
-                      appendRuns: Int = 0): IndexMeta = {
+                      appendRuns: Int = 0,
+                      keepOld: Boolean = false): IndexMeta = {
     // top-level ndocs/maxTf columns mean this pass never touches the fat
     // `blocks` column — parquet column pruning keeps the stats refresh a
     // metadata-sized read, not a full index re-read. Explicit schemas keep
@@ -521,9 +522,16 @@ object IndexBuilder {
         max("maxTf").as("maxTf"),
         count(lit(1)).as("rows"))
       .persist()
+    // stats are APPENDED next to the previous generation and only the new
+    // files enter the manifest; the old generation is deleted AFTER the
+    // manifest commit (below) — a crash in between strands orphans (gc'd
+    // later), never a manifest pointing at deleted files
+    val statsDirPath = SegmentCatalog.statsDir(indexDir)
+    val statsBefore = listParquet(statsDirPath)
     cells.groupBy("term")
       .agg(sum("df").as("df"), max("maxTf").as("maxTf"))
-      .write.mode("overwrite").parquet(SegmentCatalog.statsDir(indexDir))
+      .write.mode("append").parquet(statsDirPath)
+    val statsNew = listParquet(statsDirPath).filterNot(statsBefore.toSet)
     val now = System.currentTimeMillis()
     val shardsMeta = cells.groupBy("shard")
       .agg(count(lit(1)).as("terms"), sum("rows").as("rows"), sum("df").as("postings"))
@@ -556,8 +564,11 @@ object IndexBuilder {
       altOrder = params.altOrder,
       fields = fields,
       appendRuns = appendRuns,
-      dataFiles = dataFiles + ("stats" -> listParquet(SegmentCatalog.statsDir(indexDir))))
+      dataFiles = dataFiles + ("stats" -> statsNew))
     SegmentCatalog.save(indexDir, meta)
+    if (!keepOld)
+      statsBefore.foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(statsDirPath, f)))
     meta
   }
 
@@ -706,9 +717,13 @@ object IndexBuilder {
     * append triggers [[compact]] (size-tiered policy — the reference's
     * automatic pending-list cleanup, src/rumvacuum.c:751-846). 0 disables.
     * Bounds query-side run-merge work to O(threshold) overlapping runs per
-    * (shard, term) cell regardless of append count; readers stay isolated
-    * throughout because each rewrite commits via the atomic snapshot
-    * manifest.
+    * (shard, term) cell regardless of append count. The rewrite follows
+    * compact's commit-before-delete protocol, so a crash at any point
+    * leaves a manifest whose files all exist; NEW readers are isolated
+    * throughout. A long-lived reader pinned to the pre-compact manifest
+    * loses its files once the post-commit cleanup runs — deployments
+    * serving from open Searchers alongside streaming ingest should compact
+    * manually with `retainOld = true` (and gcOrphans later) instead.
     */
   val AutoCompactRuns = 8
 
@@ -969,9 +984,25 @@ object IndexBuilder {
     * optionally excluding docIds. No re-tokenization: stored payloads are
     * carried through (the posting merge of src/rumdatapage.c:367-408 at
     * segment scale).
+    *
+    * Commit protocol (crash-safe, Iceberg-snapshot style): the compacted
+    * generation is written as NEW part files next to the old ones, the
+    * manifest listing exactly the new files is committed atomically, and
+    * only THEN are the old generation's files deleted. A crash at any
+    * point leaves a manifest whose files all exist — before the commit it
+    * still lists the old generation (new files are invisible orphans,
+    * reclaimed by [[gcOrphans]]); after it, stranded old files are the
+    * orphans. With `retainOld = true` the old generation is kept on disk
+    * so ALREADY-OPEN readers pinned to the pre-compact manifest keep
+    * working (long-lived Searchers serving alongside streaming ingest);
+    * call [[gcOrphans]] once they have rotated. With the default
+    * `retainOld = false` the old files are deleted immediately after the
+    * commit — new readers are unaffected, but a reader still holding the
+    * pre-compact manifest will miss its files.
     */
   def compact(spark: SparkSession, indexDir: String,
-              exclude: Option[DataFrame] = None): IndexMeta = {
+              exclude: Option[DataFrame] = None,
+              retainOld: Boolean = false): IndexMeta = {
     import spark.implicits._
     val t0 = System.currentTimeMillis()
     val meta = SegmentCatalog.load(indexDir)
@@ -999,43 +1030,46 @@ object IndexBuilder {
     }
 
     val packAcc = newPackAcc(spark)
-    val tmpPost = SegmentCatalog.postingsDir(indexDir) + ".tmp"
-    deleteRecursively(tmpPost)
+    // new generation is APPENDED next to the old files (unique part names);
+    // reads go through the pre-compact manifest listing, so the concurrent
+    // append is invisible to them
+    val kinds = Seq("postings", "docs") ++ (if (params.altOrder) Seq("alt") else Nil)
+    val before: Map[String, Set[String]] =
+      kinds.map(k => k -> listParquet(datasetDir(indexDir, k)).toSet).toMap
+
     packDataset(spark, kept, params, packAcc = Some(packAcc))
-      .write.mode("overwrite").partitionBy("shard").parquet(tmpPost)
-
-    val tmpAlt = SegmentCatalog.altDir(indexDir) + ".tmp"
-    if (params.altOrder) {
-      deleteRecursively(tmpAlt)
+      .write.mode("append").partitionBy("shard")
+      .parquet(SegmentCatalog.postingsDir(indexDir))
+    if (params.altOrder)
       packDataset(spark, kept, params, alt = true, packAcc = Some(packAcc))
-        .write.mode("overwrite").partitionBy("shard").parquet(tmpAlt)
-    }
-
-    val tmpDocs = SegmentCatalog.docsDir(indexDir) + ".tmp"
-    deleteRecursively(tmpDocs)
+        .write.mode("append").partitionBy("shard")
+        .parquet(SegmentCatalog.altDir(indexDir))
     val docs = readDataset(spark, indexDir, meta, "docs")
     val keptDocs = excludeIds match {
       case Some(ids) => docs.join(ids, Seq("docId"), "left_anti")
       case None => docs
     }
     keptDocs.select("docId", "len", "addon", "uniq", "shard")
-      .write.mode("overwrite").partitionBy("shard").parquet(tmpDocs)
+      .write.mode("append").partitionBy("shard")
+      .parquet(SegmentCatalog.docsDir(indexDir))
 
-    // swap (single-FS rename; an object-store deployment would commit a
-    // new manifest pointing at the new location instead)
-    deleteRecursively(SegmentCatalog.postingsDir(indexDir))
-    deleteRecursively(SegmentCatalog.docsDir(indexDir))
-    new java.io.File(tmpPost).renameTo(new java.io.File(SegmentCatalog.postingsDir(indexDir)))
-    new java.io.File(tmpDocs).renameTo(new java.io.File(SegmentCatalog.docsDir(indexDir)))
-    if (params.altOrder) {
-      deleteRecursively(SegmentCatalog.altDir(indexDir))
-      new java.io.File(tmpAlt).renameTo(new java.io.File(SegmentCatalog.altDir(indexDir)))
-    }
+    val newFiles: Map[String, List[String]] = kinds.map(k =>
+      k -> listParquet(datasetDir(indexDir, k)).filterNot(before(k))).toMap
 
+    // COMMIT: manifest lists exactly the new generation (atomic move)
     val buildMs = System.currentTimeMillis() - t0
-    refresh(spark, indexDir, params, buildMs, s"compact(exclude=${exclude.isDefined})",
+    val committed = refresh(spark, indexDir, params, buildMs,
+      s"compact(exclude=${exclude.isDefined})",
       lastBatchId = meta.lastBatchId, fields = meta.fields,
-      dataFiles = currentListing(indexDir, params),
-      shardMs = packAccMs(packAcc))
+      dataFiles = newFiles, shardMs = packAccMs(packAcc), keepOld = retainOld)
+
+    // only after the commit is durable does the old generation go away
+    if (!retainOld)
+      kinds.foreach { k =>
+        val dir = datasetDir(indexDir, k)
+        before(k).foreach(f =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, f)))
+      }
+    committed
   }
 }
