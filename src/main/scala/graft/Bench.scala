@@ -120,6 +120,43 @@ object Bench {
       Bm25(Seq("error", "retry"), 10))
   }
 
+  /** Count-serving batch (msearchCounts): the per-shard PARTIAL-count
+    * path whose shuffle volume is nShards x batch size by construction,
+    * independent of match counts — the fused shape that survives
+    * million-match count queries. Query mix mirrors fusedSpecs' boolean
+    * slots plus wide-match and prefix queries.
+    */
+  val countSpecs: Seq[String] = Seq(
+    "merge & partition",
+    "hash | tree | heap",
+    "seg:* & commit",
+    "merge | index",
+    "license & value",
+    "sort & !spill")
+
+  /** The counts batch as ONE fresh-planned fused job (per-shard partials,
+    * one scan + one shuffle); returns per-query counts in slot order.
+    */
+  def queryBatchCountsFresh(searcher: Searcher): Array[Long] = {
+    val rows = searcher.msearchCountsPlan(countSpecs).collect()
+    val m = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    countSpecs.indices.map(i => m.getOrElse(i, -1L)).toArray
+  }
+
+  /** Per-slot result-row counts of the fused 6-spec batch (deterministic
+    * on a deterministic corpus) — the correctness anchor ScalingBench
+    * asserts per run, so every scaling run is also a correctness run
+    * (the reference pins exact counts the same way,
+    * tests/pglist_tests.py:112-117).
+    */
+  def fusedRowCounts(searcher: Searcher): Array[Long] = {
+    import org.apache.spark.sql.functions.{count => fcount, lit}
+    val rows = searcher.msearchPlan(fusedSpecs)
+      .groupBy("qi").agg(fcount(lit(1)).as("cnt")).collect()
+    val m = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    fusedSpecs.indices.map(i => m.getOrElse(i, 0L)).toArray
+  }
+
   /** [[queryBatchFused]] over an arbitrary spec batch (fresh-planned). */
   def queryBatchFusedN(searcher: Searcher, specs: Seq[Searcher.MsearchSpec],
                        planOnly: Boolean = false): Int = {

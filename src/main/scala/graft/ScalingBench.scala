@@ -18,7 +18,8 @@ object ScalingBench {
 
   private case class Run(cores: Int, buildSec: Double, filesPerSec: Double,
                          p50: Double, p95: Double, qps: Double,
-                         fusedQps: Double, branchQps: Double)
+                         fusedQps: Double, branchQps: Double, countsQps: Double,
+                         fusedAnchor: Seq[Long], countsAnchor: Seq[Long])
 
   /** best-of-`trials` build + concurrent-query throughput at one
     * parallelism level. Multiple trials damp noisy-neighbor variance in
@@ -124,11 +125,31 @@ object ScalingBench {
       }
       val fusedQps = adhocPhase("bfused", () => { Bench.queryBatchFused(searcher); () })
       val branchQps = adhocPhase("bbranch", () => { Bench.queryBatchFresh(searcher); () })
+      // fused COUNT serving (per-shard partials: shuffle volume is
+      // nShards x batch regardless of match counts) — its own phase so the
+      // constant-shuffle path has a scaling reading too
+      Bench.queryBatchCountsFresh(searcher) // warm
+      val countsQps = adhocPhase("bcounts", () => { Bench.queryBatchCountsFresh(searcher); () })
+      // determinism anchors: per-slot result/count values on this corpus —
+      // asserted identical across parallelism levels (and against recorded
+      // constants for the canonical 800k corpus in main), so every scaling
+      // run doubles as a correctness run
+      val fusedAnchor = Bench.fusedRowCounts(searcher).toSeq
+      val countsAnchor = Bench.queryBatchCountsFresh(searcher).toSeq
+      System.err.println(s"[scaling] cores=$cores anchors fused=$fusedAnchor counts=$countsAnchor")
       Run(cores, bestBuild, nFiles / bestBuild,
         lat(lat.length / 2), lat(math.min(lat.length - 1, (lat.length * 0.95).toInt)),
-        bestQps, fusedQps, branchQps)
+        bestQps, fusedQps, branchQps, countsQps, fusedAnchor, countsAnchor)
     } finally spark.stop()
   }
+
+  /** Recorded per-slot anchors for the canonical 800k-file CorpusGen
+    * corpus (from a verified run; the corpus is deterministic). Fused =
+    * result rows per fusedSpecs slot; Counts = match counts per countSpecs
+    * slot.
+    */
+  val FusedAnchor800k: Seq[Long] = ScalingBenchAnchors.fused800k
+  val CountsAnchor800k: Seq[Long] = ScalingBenchAnchors.counts800k
 
   def main(args: Array[String]): Unit = {
     val nFiles = if (args.nonEmpty) args(0).toLong else 200000L
@@ -142,6 +163,21 @@ object ScalingBench {
     val queryEff = r32.qps / (4.0 * r8.qps)
     val fusedEff = r32.fusedQps / (4.0 * r8.fusedQps)
     val branchEff = r32.branchQps / (4.0 * r8.branchQps)
+    val countsEff = r32.countsQps / (4.0 * r8.countsQps)
+    // ---- correctness anchors ----
+    require(r8.fusedAnchor == r32.fusedAnchor,
+      s"fused anchor diverged across levels: ${r8.fusedAnchor} vs ${r32.fusedAnchor}")
+    require(r8.countsAnchor == r32.countsAnchor,
+      s"counts anchor diverged across levels: ${r8.countsAnchor} vs ${r32.countsAnchor}")
+    // canonical 800k corpus: pinned expected values (recorded once from a
+    // verified run; CorpusGen is deterministic) — any drift is a
+    // correctness regression, failing the scaling run itself
+    if (nFiles == 800000L && ScalingBench.FusedAnchor800k.nonEmpty) {
+      require(r8.fusedAnchor == ScalingBench.FusedAnchor800k,
+        s"fused anchor drifted from recorded: ${r8.fusedAnchor}")
+      require(r8.countsAnchor == ScalingBench.CountsAnchor800k,
+        s"counts anchor drifted from recorded: ${r8.countsAnchor}")
+    }
 
     val md =
       s"""# BENCH — measured numbers (round snapshot)
@@ -199,14 +235,19 @@ object ScalingBench {
          |dispatch shape. PER-BRANCH = six independently planned subtrees
          |unioned (the shape before msearch existed), for comparison.
          |
-         || cores | fused q/s | per-branch q/s |
-         ||---|---|---|
-         || ${r8.cores}  | ${f"${r8.fusedQps}%.2f"} | ${f"${r8.branchQps}%.2f"} |
-         || ${r32.cores} | ${f"${r32.fusedQps}%.2f"} | ${f"${r32.branchQps}%.2f"} |
+         || cores | fused q/s | per-branch q/s | fused counts q/s |
+         ||---|---|---|---|
+         || ${r8.cores}  | ${f"${r8.fusedQps}%.2f"} | ${f"${r8.branchQps}%.2f"} | ${f"${r8.countsQps}%.2f"} |
+         || ${r32.cores} | ${f"${r32.fusedQps}%.2f"} | ${f"${r32.branchQps}%.2f"} | ${f"${r32.countsQps}%.2f"} |
          |
          |**Ad-hoc query throughput scaling efficiency (N → 4N): fused
-         |${f"$fusedEff%.3f"}, per-branch ${f"$branchEff%.3f"}**
+         |${f"$fusedEff%.3f"}, per-branch ${f"$branchEff%.3f"}, fused counts
+         |${f"$countsEff%.3f"}**
          |(target ≥ 0.8 per BASELINE.json north rule)
+         |
+         |Correctness anchors (asserted identical at both levels${if (nFiles == 800000L) " AND equal to the recorded 800k constants" else ""}):
+         |fused per-slot rows = ${r8.fusedAnchor.mkString("[", ", ", "]")},
+         |counts = ${r8.countsAnchor.mkString("[", ", ", "]")}.
          |
          |## Method / host calibration
          |
