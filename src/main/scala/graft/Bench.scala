@@ -285,5 +285,11 @@ object Bench {
     val total = results.filterNot(_._1 == "corpus_files_per_sec").values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    // the bench corpus index is multi-GB and disposable — reclaim /tmp
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(idxDir))
   }
 }

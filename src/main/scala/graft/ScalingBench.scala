@@ -38,8 +38,10 @@ object ScalingBench {
       val corpus = CorpusGen.withDocId(CorpusGen.generate(spark, nFiles, cores * 2))
       var bestBuild = Double.MaxValue
       var idxDir: String = null
+      val allDirs = scala.collection.mutable.ListBuffer.empty[String]
       for (t <- 1 to trials) {
         val dir = java.nio.file.Files.createTempDirectory(s"scale$cores-$t").toString
+        allDirs += dir
         System.err.println(s"[scaling] cores=$cores trial $t building $nFiles files...")
         val t0 = System.nanoTime()
         IndexBuilder.build(spark, corpus, "doc_id", "content", dir,
@@ -137,9 +139,13 @@ object ScalingBench {
       val fusedAnchor = Bench.fusedRowCounts(searcher).toSeq
       val countsAnchor = Bench.queryBatchCountsFresh(searcher).toSeq
       System.err.println(s"[scaling] cores=$cores anchors fused=$fusedAnchor counts=$countsAnchor")
-      Run(cores, bestBuild, nFiles / bestBuild,
+      val run = Run(cores, bestBuild, nFiles / bestBuild,
         lat(lat.length / 2), lat(math.min(lat.length - 1, (lat.length * 0.95).toInt)),
         bestQps, fusedQps, branchQps, countsQps, fusedAnchor, countsAnchor)
+      // an 800k index is multi-GB; four trials across two levels filled
+      // /tmp mid-run once — trial dirs are disposable, reclaim them here
+      allDirs.foreach(d => deleteDir(new java.io.File(d)))
+      run
     } finally spark.stop()
   }
 
@@ -150,6 +156,11 @@ object ScalingBench {
     */
   val FusedAnchor800k: Seq[Long] = ScalingBenchAnchors.fused800k
   val CountsAnchor800k: Seq[Long] = ScalingBenchAnchors.counts800k
+
+  private def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteDir)
+    f.delete()
+  }
 
   def main(args: Array[String]): Unit = {
     val nFiles = if (args.nonEmpty) args(0).toLong else 200000L
@@ -245,7 +256,7 @@ object ScalingBench {
          |${f"$countsEff%.3f"}**
          |(target ≥ 0.8 per BASELINE.json north rule)
          |
-         |Correctness anchors (asserted identical at both levels${if (nFiles == 800000L) " AND equal to the recorded 800k constants" else ""}):
+         |Correctness anchors (asserted identical at both levels${if (nFiles == 800000L && ScalingBench.FusedAnchor800k.nonEmpty) " AND equal to the recorded 800k constants" else ""}):
          |fused per-slot rows = ${r8.fusedAnchor.mkString("[", ", ", "]")},
          |counts = ${r8.countsAnchor.mkString("[", ", ", "]")}.
          |
