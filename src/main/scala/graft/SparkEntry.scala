@@ -662,6 +662,19 @@ object SparkEntry {
         .select(col("docId").as("event_id"), col("addon").as("ts_us"),
           col("distance").cast("long").as("dist"))
     }),
+    "ft_msearch_addon" -> ((s, dir) => {
+      // fused batch WITH ordered-scan slots: boolean match (primary
+      // layout) + addon top-k + addon range (alt-order layout) — one scan
+      // per layout touched, one job for the whole batch
+      import graft.search.Searcher.MsearchSpec._
+      IndexCache.searcher(s, dir).msearch(Seq(
+        Match("order & merge"),
+        Addon("merge & window", 600L, "both", 10),
+        AddonRange("merge & window", 400L, 700L)))
+        .select(col("qi"), col("docId").as("doc_id"),
+          col("score").cast("long").as("dist"))
+        .orderBy("qi", "doc_id")
+    }),
     "ft_empty_count" -> ((s, dir) => {
       // empty/NULL-column docs counted from the INDEX via the reserved
       // placeholder key (INCLUDE_EMPTY, src/rumscan.c:144-151) — the plan
@@ -1518,6 +1531,21 @@ object SparkEntry {
         |ORDER BY dist, d.doc_id LIMIT 10""".stripMargin),
     "ft_empty_count" ->
       "SELECT count(*) AS cnt FROM documents WHERE n_chars % 7 = 0",
+    "ft_msearch_addon" -> (ToksCte +
+      """, m AS (SELECT d.doc_id, d.n_chars FROM documents d
+        |    WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |      AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window'))
+        |SELECT 0 AS qi, d.doc_id, CAST(0 AS BIGINT) AS dist FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='order')
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |UNION ALL
+        |SELECT 1 AS qi, x.doc_id, x.dist FROM (
+        |  SELECT doc_id, CAST(abs(n_chars - 600) AS BIGINT) AS dist
+        |  FROM m ORDER BY dist, doc_id LIMIT 10) x
+        |UNION ALL
+        |SELECT 2 AS qi, doc_id, CAST(0 AS BIGINT) AS dist FROM m
+        |WHERE n_chars BETWEEN 400 AND 700
+        |ORDER BY qi, doc_id""".stripMargin),
     "ft_addon_ts" ->
       """SELECT event_id, epoch_us(ts) AS ts_us,
         |  CAST(abs(epoch_us(ts) - 1705276800000000) AS BIGINT) AS dist

@@ -108,16 +108,35 @@ object AltKernel extends Serializable {
     }
   }
 
-  /** rows → per-key single ordered block array. Micro-segment runs from
-    * incremental appends overlap in addon range; they are merge-sorted and
-    * repacked once per (query key, shard) — the query-time analogue of the
-    * primary path's UnionCursor.
+  /** Shard-local alt-layout cell table: rows grouped by term ONCE, with
+    * each query key's merged/unioned block array memoized — a fused batch
+    * of ordered-scan specs shares one instance per shard, so a term or
+    * prefix expansion appearing in several specs is merged once (the alt
+    * twin of [[SearchKernel.ShardView]]). Cell arrays are immutable; the
+    * direction-stateful cursors are built fresh per spec. Not thread-safe
+    * (one task owns its shard).
+    *
+    * Micro-segment runs from incremental appends overlap in addon range;
+    * they are merge-sorted and repacked once per (query key, shard) — the
+    * query-time analogue of the primary path's UnionCursor.
     */
-  private def buildCells(keys: Array[SearchKernel.KeySpec],
-                         rows: Iterator[PostingRow]): Array[Array[PostingBlock]] = {
-    val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingRow]]
+  final class ShardCells(rows: Iterator[PostingRow]) {
+    private val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingRow]]
     rows.foreach(r => byTerm.getOrElseUpdate(r.term, mutable.ArrayBuffer.empty) += r)
-    def merged(rs: mutable.ArrayBuffer[PostingRow]): Array[PostingBlock] = {
+    private val cellCache = mutable.HashMap.empty[(String, Boolean), Array[PostingBlock]]
+
+    def cellFor(k: SearchKernel.KeySpec): Array[PostingBlock] =
+      cellCache.getOrElseUpdate((k.term, k.prefix), {
+        if (!k.prefix)
+          byTerm.get(k.term).map(merged).getOrElse(Array.empty[PostingBlock])
+        else {
+          val rs = byTerm.keysIterator.filter(_.startsWith(k.term))
+            .flatMap(byTerm(_)).toSeq
+          if (rs.isEmpty) Array.empty[PostingBlock] else mergedUnion(rs)
+        }
+      })
+
+    private def merged(rs: mutable.ArrayBuffer[PostingRow]): Array[PostingBlock] = {
       val sorted = rs.sortBy(r => (r.blocks.head.firstDoc, r.chunk))
       // single ascending run (the compacted/bulk-built layout): concatenate
       val singleRun = sorted.sliding(2).forall {
@@ -156,7 +175,7 @@ object AltKernel extends Serializable {
       * lists interleave — exactly the primary path's UnionCursor semantics
       * (rum_ts_join_pos, src/rum_ts_utils.c:1564-1645).
       */
-    def mergedUnion(rs: Seq[PostingRow]): Array[PostingBlock] = {
+    private def mergedUnion(rs: Seq[PostingRow]): Array[PostingBlock] = {
       val all = mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Array[Byte], String)]
       rs.foreach { r =>
         r.blocks.foreach { b =>
@@ -212,16 +231,11 @@ object AltKernel extends Serializable {
       builder.result()
     }
 
-    keys.map { k =>
-      if (!k.prefix)
-        byTerm.get(k.term).map(merged).getOrElse(Array.empty[PostingBlock])
-      else {
-        val rows = byTerm.keysIterator.filter(_.startsWith(k.term))
-          .flatMap(byTerm(_)).toSeq
-        if (rows.isEmpty) Array.empty[PostingBlock] else mergedUnion(rows)
-      }
-    }
   }
+
+  private def buildCells(keys: Array[SearchKernel.KeySpec],
+                         cells: ShardCells): Array[Array[PostingBlock]] =
+    keys.map(cells.cellFor)
 
   /** Provider over one candidate composite; non-required cursors advance
     * monotonically in scan direction (candidates are monotone too).
@@ -320,8 +334,14 @@ object AltKernel extends Serializable {
     */
   def topKAddonShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
                      rows: Iterator[PostingRow], c: Long, op: String,
+                     k: Int): AltResult =
+    topKAddonShard(cq, keys, new ShardCells(rows), c, op, k)
+
+  /** [[topKAddonShard]] over a shared [[ShardCells]] (fused batches). */
+  def topKAddonShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
+                     shardCells: ShardCells, c: Long, op: String,
                      k: Int): AltResult = {
-    val cells = buildCells(keys, rows)
+    val cells = buildCells(keys, shardCells)
     val reqIdx = SearchKernel.requiredKeys(cq)
     require(reqIdx.nonEmpty, "alt scan needs required keys (caller gates)")
     val heap = new Heap(k)
@@ -367,8 +387,14 @@ object AltKernel extends Serializable {
     */
   def rangeAddonShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
                       rows: Iterator[PostingRow], lo: Long,
+                      hi: Long): Iterator[(Long, Long)] =
+    rangeAddonShard(cq, keys, new ShardCells(rows), lo, hi)
+
+  /** [[rangeAddonShard]] over a shared [[ShardCells]] (fused batches). */
+  def rangeAddonShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
+                      shardCells: ShardCells, lo: Long,
                       hi: Long): Iterator[(Long, Long)] = {
-    val cells = buildCells(keys, rows)
+    val cells = buildCells(keys, shardCells)
     val reqIdx = SearchKernel.requiredKeys(cq)
     require(reqIdx.nonEmpty, "alt scan needs required keys (caller gates)")
     val cursors = cells.map(b => new AltCur(b, forward = true))

@@ -670,10 +670,14 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * specs never pass through a sort. Per-batch driver cost is one plan
     * over one subtree instead of N — the serial component that would
     * otherwise bound msearch throughput at any cluster size.
-    * Returns (qi, docId, score): score = 0.0 for Match, BM25 score for
-    * Bm25 (top-k, higher better), cover distance for Cover (top-k, lower
-    * better). Void specs contribute no rows; full-scan-only specs fall
-    * back to their solo plans, unioned in.
+    * Returns (qi, docId, score): score = 0.0 for Match and AddonRange,
+    * BM25 score for Bm25 (top-k, higher better), cover distance for Cover
+    * (top-k, lower better), exact saturating addon distance for Addon
+    * (top-k, lower better). Ordered-scan slots (Addon/AddonRange) run over
+    * the alt-order layout's OWN shared scan — a heterogeneous batch costs
+    * one scan per layout it touches. Void specs contribute no rows;
+    * full-scan-only and alt-unservable specs fall back to their solo
+    * plans, unioned in.
     */
   def msearch(specs: Seq[Searcher.MsearchSpec]): DataFrame =
     cached("msearch" + specs.map(Searcher.specKey).mkString(""))(msearchPlan(specs))
@@ -684,6 +688,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
   def msearchPlan(specs: Seq[Searcher.MsearchSpec]): DataFrame = {
     import Searcher.MsearchSpec._
     val fused = scala.collection.mutable.ArrayBuffer.empty[Searcher.FusedSpec]
+    val altFused = scala.collection.mutable.ArrayBuffer.empty[Searcher.AltFusedSpec]
     val fallback = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def addMatch(qi: Int, cq: CompiledQuery): Unit = {
       if (SearchKernel.isVoid(cq)) ()
@@ -702,6 +707,25 @@ final class Searcher(spark: SparkSession, indexDir: String,
           .select(lit(qi).as("qi"), col("docId"), col("distance").as("score"))
       else fused += Searcher.FusedSpec(qi, 1, cq, SearchKernel.keySpecs(cq),
         null, null, null, k, scoreCq, scoreMap, method)
+    }
+    def addAddon(qi: Int, cq: CompiledQuery, c: Long, op: String, k: Int): Unit = {
+      require(Set("both", "left", "right").contains(op), s"op: $op")
+      if (SearchKernel.isVoid(cq)) ()
+      else if (altServes(cq))
+        altFused += Searcher.AltFusedSpec(qi, 0, cq, SearchKernel.keySpecs(cq),
+          c, op, k, 0L, 0L)
+      else
+        fallback += topKAddonC(cq, c, op, k)
+          .select(lit(qi).as("qi"), col("docId"), col("distance").as("score"))
+    }
+    def addRange(qi: Int, cq: CompiledQuery, lo: Long, hi: Long): Unit = {
+      if (SearchKernel.isVoid(cq)) ()
+      else if (altServes(cq))
+        altFused += Searcher.AltFusedSpec(qi, 1, cq, SearchKernel.keySpecs(cq),
+          0L, "", 0, lo, hi)
+      else
+        fallback += rangeAddonC(cq, lo, hi)
+          .select(lit(qi).as("qi"), col("docId"), lit(0.0).as("score"))
     }
     def addBm25(qi: Int, keys: Seq[String], k: Int): Unit = {
       val distinct = keys.distinct
@@ -731,6 +755,13 @@ final class Searcher(spark: SparkSession, indexDir: String,
             s"unknown field '$field' (have ${meta.fields})")
           addBm25(qi,
             terms.map(t => keyOf(graft.build.IndexBuilder.fieldKey(field, t))), k)
+        // ordered-scan slots ride the batch over the alt-order layout's
+        // OWN shared scan (one per layout per batch), or their solo
+        // fallback plans when the layout can't serve them
+        case Addon(q, c, op, k) => addAddon(qi, compile(q), c, op, k)
+        case AddonRange(q, lo, hi) => addRange(qi, compile(q), lo, hi)
+        case AddonFields(fq, c, op, k) => addAddon(qi, compileMulti(fq), c, op, k)
+        case AddonRangeFields(fq, lo, hi) => addRange(qi, compileMulti(fq), lo, hi)
       }
     }
 
@@ -794,7 +825,50 @@ final class Searcher(spark: SparkSession, indexDir: String,
           else Some(kernel(unbounded).select("qi", "docId", "score"))
         (boundedPart ++ unboundedPart).toSeq
       }
-    (fusedParts ++ fallback.toSeq).reduceOption(_ union _)
+    // ordered-scan slots: ONE alt-layout scan + shuffle for the whole
+    // batch, mirroring the primary fused pass — bounded (top-k) and range
+    // branches share the exchange; per-shard ShardCells merges each term's
+    // runs once across every spec that touches it
+    val altParts: Seq[DataFrame] =
+      if (altFused.isEmpty) Nil
+      else {
+        val afs = altFused.toArray
+        val pred = afs.map(f => termPredicate(f.cq)).reduce(_ || _)
+        val altBase = altPostings.where(pred).groupByKey(_.shard)
+        def altKernel(specsArr: Array[Searcher.AltFusedSpec]): DataFrame =
+          altBase.flatMapGroups { (shard: Int, it: Iterator[PostingRow]) =>
+            val cells = new AltKernel.ShardCells(it)
+            specsArr.iterator.flatMap { f =>
+              if (f.mode == 0)
+                AltKernel.topKAddonShard(f.cq, f.keys, cells, f.c, f.op, f.k)
+                  .rows.iterator.map(t => (f.qi, t._1, t._2))
+              else
+                AltKernel.rangeAddonShard(f.cq, f.keys, cells, f.lo, f.hi)
+                  .map { case (d, _) => (f.qi, d, 0L) }
+            }
+          }.toDF("qi", "docId", "dist")
+        val bounded = afs.filter(_.mode == 0)
+        val unbounded = afs.filter(_.mode == 1)
+        val boundedPart =
+          if (bounded.isEmpty) None
+          else {
+            // global top-k over per-shard-pruned rows; ordering/limit on
+            // the exact long distance, double only for the k survivors
+            val kPairs = bounded.flatMap(f => Seq(lit(f.qi), lit(f.k))).toSeq
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("qi").orderBy(col("dist").asc, col("docId").asc)
+            Some(altKernel(bounded)
+              .withColumn("rank", row_number().over(w))
+              .where(col("rank") <= element_at(map(kPairs: _*), col("qi")))
+              .select(col("qi"), col("docId"), col("dist").cast("double").as("score")))
+          }
+        val unboundedPart =
+          if (unbounded.isEmpty) None
+          else Some(altKernel(unbounded)
+            .select(col("qi"), col("docId"), lit(0.0).as("score")))
+        (boundedPart ++ unboundedPart).toSeq
+      }
+    (fusedParts ++ altParts ++ fallback.toSeq).reduceOption(_ union _)
       .getOrElse(emptyBatch("docId" -> "long", "score" -> "double"))
   }
 
@@ -955,7 +1029,30 @@ object Searcher {
     /** field-scoped BM25 over a multicolumn index */
     final case class Bm25Fields(field: String, terms: Seq[String], k: Int)
       extends MsearchSpec
+    /** addon ordered top-k: `WHERE q ORDER BY addon <op> c LIMIT k`
+      * (score = exact saturating distance as double, lower better); served
+      * from the alt-order layout when it can, else the slot's solo
+      * fallback plan rides the batch
+      */
+    final case class Addon(query: String, c: Long, op: String, k: Int)
+      extends MsearchSpec
+    /** addon range filter: `WHERE q AND lo <= addon <= hi` (score = 0.0) */
+    final case class AddonRange(query: String, lo: Long, hi: Long)
+      extends MsearchSpec
+    /** multicolumn [[Addon]]: one tsquery per field, ANDed */
+    final case class AddonFields(fieldQueries: Seq[(String, String)], c: Long,
+        op: String, k: Int) extends MsearchSpec
+    /** multicolumn [[AddonRange]] */
+    final case class AddonRangeFields(fieldQueries: Seq[(String, String)],
+        lo: Long, hi: Long) extends MsearchSpec
   }
+
+  /** Compiled alt-layout fused-batch slot (ordered scans). mode 0 =
+    * addon top-k, 1 = addon range.
+    */
+  private[search] final case class AltFusedSpec(
+      qi: Int, mode: Int, cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
+      c: Long, op: String, k: Int, lo: Long, hi: Long)
 
   /** Compiled fused-batch slot (task-closure payload: no session refs).
     * mode 0 = match, 1 = cover top-k, 2 = BM25 WAND top-k.
@@ -1002,6 +1099,12 @@ object Searcher {
       case CoverFields(rf, rq, fl, k) =>
         key(Seq("CF", rf, rq, k.toString) ++ fl.flatMap(p => Seq(p._1, p._2)): _*)
       case Bm25Fields(f, ts, k) => key(Seq("BF", f, k.toString) ++ ts: _*)
+      case Addon(q, c, op, k) => key("A", q, c.toString, op, k.toString)
+      case AddonRange(q, lo, hi) => key("R", q, lo.toString, hi.toString)
+      case AddonFields(fq, c, op, k) =>
+        key(Seq("AF", c.toString, op, k.toString) ++ fq.flatMap(p => Seq(p._1, p._2)): _*)
+      case AddonRangeFields(fq, lo, hi) =>
+        key(Seq("RF", lo.toString, hi.toString) ++ fq.flatMap(p => Seq(p._1, p._2)): _*)
     }) + "\u0002"
   }
 

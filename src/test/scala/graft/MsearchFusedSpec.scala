@@ -122,6 +122,90 @@ class MsearchFusedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- ordered-scan slots (alt-order layout) in the fused batch ----
+
+  private lazy val altSearcher: Searcher = {
+    val d = java.nio.file.Files.createTempDirectory("msearchalt").toString
+    // signed addons, scrambled + tied like AltOrderSpec's fixture
+    val docs = (0 until 2000).map(i =>
+      (i.toLong, text(i), (((i * 7919) % 2000) / 3).toLong * 10L - 3000L))
+      .toDF("doc_id", "text", "d")
+    IndexBuilder.build(spark, docs, "doc_id", "text", d,
+      IndexBuilder.Params(nShards = 4, blockSize = 64, attach = Some("d"),
+        altOrder = true))
+    new Searcher(spark, d)
+  }
+
+  test("Addon and AddonRange slots equal their solo queries (incl. fallback)") {
+    import Searcher.MsearchSpec._
+    val specs = Seq(
+      Addon("even & triple", -700L, "both", 7),
+      Addon("common & rare7", 500L, "left", 5),
+      AddonRange("even & triple", -1500L, -100L),
+      Addon("even | rare7", 0L, "right", 6), // OR: alt can't serve -> fallback
+      Match("even & rare7"))                 // primary-layout slot in the same batch
+    val got = altSearcher.msearch(specs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+
+    def soloAddon(q: String, c: Long, op: String, k: Int): Set[(Long, Double)] =
+      altSearcher.topKAddon(q, c, op, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(got(0).map(t => (t._2, t._3)).toSet == soloAddon("even & triple", -700L, "both", 7))
+    assert(got(1).map(t => (t._2, t._3)).toSet == soloAddon("common & rare7", 500L, "left", 5))
+    assert(got(3).map(t => (t._2, t._3)).toSet == soloAddon("even | rare7", 0L, "right", 6))
+    val soloRange = altSearcher.rangeAddon("even & triple", -1500L, -100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got(2).map(_._2).toSet == soloRange && soloRange.nonEmpty)
+    assert(got(2).forall(_._3 == 0.0))
+    val soloMatch = altSearcher.matchingDocs("even & rare7").collect()
+      .map(_.getLong(0)).toSet
+    assert(got(4).map(_._2).toSet == soloMatch)
+  }
+
+  test("alt branches share one exchange; prefix slots ride too") {
+    import Searcher.MsearchSpec._
+    val df = altSearcher.msearchPlan(Seq(
+      Addon("prefixed:* & even", -200L, "both", 6),
+      AddonRange("prefixed:* & even", -2000L, 2000L)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Reused"), plan.take(3000))
+    // slot correctness under prefix expansion
+    val got = altSearcher.msearch(Seq(
+      Addon("prefixed:* & even", -200L, "both", 6),
+      AddonRange("prefixed:* & even", -2000L, 2000L))).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).groupBy(_._1)
+    val solo = altSearcher.topKAddon("prefixed:* & even", -200L, "both", 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(got(0).map(t => (t._2, t._3)).toSet == solo && solo.nonEmpty)
+    val soloR = altSearcher.rangeAddon("prefixed:* & even", -2000L, 2000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got(1).map(_._2).toSet == soloR)
+  }
+
+  test("multicolumn ordered-scan slots (AddonFields/AddonRangeFields)") {
+    import Searcher.MsearchSpec._
+    val d = java.nio.file.Files.createTempDirectory("msearchaltm").toString
+    val docs = (0 until 800).map { i =>
+      (i.toLong, text(i), s"lang${i % 3}", (((i * 31) % 800)).toLong - 400L)
+    }.toDF("doc_id", "body", "lang", "d")
+    IndexBuilder.buildFields(spark, docs, "doc_id",
+      Seq("body" -> "body", "lang" -> "lang"), d,
+      IndexBuilder.Params(nShards = 2, attach = Some("d"), altOrder = true))
+    val s = new Searcher(spark, d)
+    val fq = Seq("body" -> "even", "lang" -> "lang1")
+    val got = s.msearch(Seq(
+      AddonFields(fq, -100L, "both", 5),
+      AddonRangeFields(fq, -300L, 0L))).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).groupBy(_._1)
+    val solo = s.topKAddonMulti(fq, -100L, "both", 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(got(0).map(t => (t._2, t._3)).toSet == solo && solo.nonEmpty)
+    val soloR = s.rangeAddonMulti(fq, -300L, 0L).collect().map(_.getLong(0)).toSet
+    assert(got(1).map(_._2).toSet == soloR && soloR.nonEmpty)
+  }
+
   test("fused kernel executes once: shared exchange reused across branches") {
     import Searcher.MsearchSpec._
     val df = searcher.msearchPlan(Seq(
