@@ -628,6 +628,20 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), round(col("d0"), 4).as("distance"),
           col("d1").cast("long").as("dist2"))
     }),
+    "ft_msearch_order2" -> ((s, dir) => {
+      // fused batch with a composite-ordered slot: boolean match + Order2
+      // (WHERE t @@ q ORDER BY t <=> q, n_chars <=> 600, doc_id LIMIT 10)
+      // in ONE postings scan — the addon second key decides membership at
+      // the k boundary (rank ties are common in templated corpora), and
+      // per-shard pruning happens on the FULL composite tuple
+      import graft.search.Searcher.MsearchSpec._
+      IndexCache.searcher(s, dir).msearch(Seq(
+        Match("order & merge"),
+        Order2("order & window", 600L, "both", 10)))
+        .select(col("qi"), col("docId").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("qi", "doc_id")
+    }),
     "ft_addon_range" -> ((s, dir) => {
       // served from the (addon, docId)-ordered layout: bounded stream
       // [400, 700], cost tracks the in-range match count
@@ -1189,6 +1203,32 @@ object SparkEntry {
         |  CAST(abs(dd.n_chars - 600) AS BIGINT) AS dist2
         |FROM dists s JOIN documents dd ON dd.doc_id = s.doc_id
         |ORDER BY s.d, abs(dd.n_chars - 600), s.doc_id LIMIT 10""".stripMargin),
+    // fused batch with a composite-ordered (Order2) slot: slot 0 = boolean
+    // match, slot 1 = the ft_order2 lexicographic top-10, tagged by qi
+    "ft_msearch_order2" -> (ToksCte +
+      """,
+        |m0 AS (SELECT doc_id FROM toks WHERE term='order'
+        |       INTERSECT SELECT doc_id FROM toks WHERE term='merge'),
+        |occ AS (SELECT doc_id, pos, term FROM toks WHERE term IN ('order','window')),
+        |seq AS (SELECT doc_id, pos, term,
+        |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS q,
+        |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm
+        |        FROM occ),
+        |covers AS (SELECT doc_id, pos AS p, q, term AS t1 FROM seq
+        |           WHERE nterm IS NOT NULL AND nterm <> term),
+        |numbered AS (SELECT doc_id, p, q, t1,
+        |             row_number() OVER (PARTITION BY doc_id, t1 ORDER BY p) AS l
+        |             FROM covers),
+        |scores AS (SELECT doc_id, sum(0.2/(q - p)/(l*l)/1.64493406685) AS score
+        |           FROM numbered GROUP BY doc_id),
+        |dists AS (SELECT doc_id, CAST(CAST(1.0 AS REAL)/CAST(score AS REAL) AS DOUBLE) AS d
+        |          FROM scores),
+        |o10 AS (SELECT s.doc_id, s.d FROM dists s
+        |        JOIN documents dd ON dd.doc_id = s.doc_id
+        |        ORDER BY s.d, abs(dd.n_chars - 600), s.doc_id LIMIT 10)
+        |SELECT 0 AS qi, doc_id, 0.0 AS score FROM m0
+        |UNION ALL SELECT 1, doc_id, round(d, 4) FROM o10
+        |ORDER BY qi, doc_id""".stripMargin),
     // fused msearch: each slot replays its solo oracle, tagged by qi
     "ft_msearch" -> (ToksCte +
       """,

@@ -326,6 +326,20 @@ object AltKernel extends Serializable {
     try Math.subtractExact(a, b)
     catch { case _: ArithmeticException => Long.MaxValue }
 
+  /** Finite-only saturating addon distance for composite order keys (the
+    * fused Order2 slot's second key): "both" = |a-c|, "left"/"right" the
+    * one-sided operators. Returns -1 for a one-sided miss — the caller
+    * excludes the row, matching the engine's finite-only contract
+    * ([[topKAddonShard]] and the decimal fallback both drop such rows).
+    * Saturates at Long.MaxValue like every distance in this kernel.
+    */
+  private[search] def satDist(a: Long, c: Long, op: String): Long = op match {
+    case "both" => if (a >= c) satSub(a, c) else satSub(c, a)
+    case "left" => if (a <= c) satSub(c, a) else -1L
+    case "right" => if (a >= c) satSub(a, c) else -1L
+    case other => throw new IllegalArgumentException(s"op: $other")
+  }
+
   /** `WHERE t @@ q ORDER BY addon <op> c LIMIT k` from the alt-order
     * layout: ordered stream(s) from c with early termination once the
     * next candidate's distance can no longer improve the k best.

@@ -491,6 +491,38 @@ object SearchKernel extends Serializable {
       scoreCq = scoreCq, scoreMap = scoreMap)
   }
 
+  /** Per-shard composite top-k for the fused Order2 slot:
+    * `WHERE q ORDER BY rank(method), addon <op> c, docId LIMIT k`
+    * lexicographic (the reference sorts the whole distances[norderbys]
+    * vector then TID, src/rumget.c:2218-2301 / src/rumsort.c:3977-4022).
+    * [[matchShard]]'s own heap orders by (rank, docId) alone — NOT a prefix
+    * of the composite key when an addon key follows — so pruning happens
+    * here on the FULL (rank, addonDist, docId) tuple: no shard can drop a
+    * row a later tie-break would promote. One-sided addon misses are
+    * excluded (the engine's finite-only contract). Emits
+    * (docId, rankDist, addonDist), unordered — the global composite top-k
+    * re-sorts the ≤ k survivors per shard.
+    */
+  def order2Shard(cq: CompiledQuery, keys: Array[KeySpec], view: ShardView,
+                  c: Long, op: String, k: Int,
+                  method: Int): Iterator[(Long, Double, Long)] = {
+    val ord = Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Long, Ordering.Long)
+    // max-heap on the composite key: head = current worst of the k best
+    val pq = mutable.PriorityQueue.empty[(Double, Long, Long)](ord)
+    val m = matchShard(cq, keys, view, score = true, k = 0, method = method,
+      scoreCq = null, scoreMap = null)
+    while (m.hasNext) {
+      val (id, rank, addon) = m.next()
+      val d2 = AltKernel.satDist(addon, c, op)
+      if (d2 >= 0L) {
+        val cand = (rank, d2, id)
+        if (pq.size < k) pq.enqueue(cand)
+        else if (ord.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
+      }
+    }
+    pq.iterator.map { case (r, d2, id) => (id, r, d2) }
+  }
+
   /** Full-corpus scan driver (scanGetItemFull, src/rumget.c:2024-2083):
     * candidates = every doc in the shard.
     */

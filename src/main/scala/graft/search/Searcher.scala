@@ -708,6 +708,19 @@ final class Searcher(spark: SparkSession, indexDir: String,
       else fused += Searcher.FusedSpec(qi, 1, cq, SearchKernel.keySpecs(cq),
         null, null, null, k, scoreCq, scoreMap, method)
     }
+    def addOrder2(qi: Int, cq: CompiledQuery, c: Long, op: String, k: Int,
+                  method: Int): Unit = {
+      require(Set("both", "left", "right").contains(op), s"op: $op")
+      require(k > 0, s"k: $k")
+      val needsHeap = (method & (CoverRank.NormUniq | CoverRank.NormLogUniq)) != 0
+      if (SearchKernel.isVoid(cq)) ()
+      else if (needsHeap || SearchKernel.needsFullScan(cq))
+        fallback += topKMultiC(cq,
+            Seq(Searcher.OrderKey.Rank(method), Searcher.OrderKey.Addon(c, op)), k)
+          .select(lit(qi).as("qi"), col("docId"), col("d0").as("score"))
+      else fused += Searcher.FusedSpec(qi, 4, cq, SearchKernel.keySpecs(cq),
+        null, null, null, k, null, null, method, c, op)
+    }
     def addAddon(qi: Int, cq: CompiledQuery, c: Long, op: String, k: Int): Unit = {
       require(Set("both", "left", "right").contains(op), s"op: $op")
       if (SearchKernel.isVoid(cq)) ()
@@ -743,6 +756,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
       spec match {
         case Match(q) => addMatch(qi, compile(q))
         case Cover(q, k, method) => addCover(qi, compile(q), k, method, null, null)
+        case Order2(q, c, op, k, method) => addOrder2(qi, compile(q), c, op, k, method)
         case Bm25(terms, k) => addBm25(qi, terms.map(keyOf), k)
         // field-scoped variants over a multi-column index: the same fused
         // pass — field-prefixed keys are just keys to the kernel
@@ -793,17 +807,23 @@ final class Searcher(spark: SparkSession, indexDir: String,
               f.mode match {
                 case 0 => SearchKernel.matchShard(f.cq, f.keys, view,
                     score = false, k = 0, method = 0, scoreCq = null, scoreMap = null)
-                  .map(t => (f.qi, t._1, 0.0, 0.0))
+                  .map(t => (f.qi, t._1, 0.0, 0.0, 0L))
                 case 1 => SearchKernel.matchShard(f.cq, f.keys, view,
                     score = true, k = f.k, method = f.method,
                     scoreCq = f.scoreCq, scoreMap = f.scoreMap)
-                  .map(t => (f.qi, t._1, t._2, t._2))
-                case _ => SearchKernel.wandShard(f.terms, f.dfs, f.ubs, nDocs,
+                  .map(t => (f.qi, t._1, t._2, t._2, 0L))
+                case 2 => SearchKernel.wandShard(f.terms, f.dfs, f.ubs, nDocs,
                     avgLen, f.k, view)
-                  .map { case (id, s) => (f.qi, id, s, -s) } // sort asc = score desc
+                  .map { case (id, s) => (f.qi, id, s, -s, 0L) } // sort asc = score desc
+                // composite (rank, addonDist, docId): per-shard heap pruned
+                // on the FULL tuple; sort2 carries the EXACT long addon
+                // distance so the global window tie-breaks losslessly
+                case _ => SearchKernel.order2Shard(f.cq, f.keys, view, f.c,
+                    f.op, f.k, f.method)
+                  .map { case (id, r, d2) => (f.qi, id, r, r, d2) }
               }
             }
-          }.toDF("qi", "docId", "score", "sort")
+          }.toDF("qi", "docId", "score", "sort", "sort2")
         val bounded = fs.filter(_.mode != 0)
         val unbounded = fs.filter(_.mode == 0)
         // bounded specs: per-shard heaps already pruned to ≤ k·nShards rows
@@ -814,7 +834,8 @@ final class Searcher(spark: SparkSession, indexDir: String,
           else {
             val kPairs = bounded.flatMap(f => Seq(lit(f.qi), lit(f.k))).toSeq
             val w = org.apache.spark.sql.expressions.Window
-              .partitionBy("qi").orderBy(col("sort").asc, col("docId").asc)
+              .partitionBy("qi")
+              .orderBy(col("sort").asc, col("sort2").asc, col("docId").asc)
             Some(kernel(bounded)
               .withColumn("rank", row_number().over(w))
               .where(col("rank") <= element_at(map(kPairs: _*), col("qi")))
@@ -1021,6 +1042,18 @@ object Searcher {
       * through its solo full-scan fallback — they read the docs table)
       */
     final case class Cover(query: String, k: Int, method: Int = 0) extends MsearchSpec
+    /** composite-ordered top-k riding the fused batch:
+      * `WHERE q ORDER BY t <=> q, addon <op> c, docId LIMIT k`
+      * lexicographic (the [[Searcher.topKMulti]] Rank-then-Addon shape;
+      * reference sorts the whole distances[norderbys] vector then TID,
+      * src/rumget.c:2218-2301). Slot score = the PRIMARY key's rank
+      * distance (lower better); the addon key decides membership and
+      * tie-breaks but is not re-emitted (the batch schema is
+      * (qi, docId, score)). UNIQ norms / full-scan-only queries ride as
+      * their solo fallback plans.
+      */
+    final case class Order2(query: String, c: Long, op: String, k: Int,
+        method: Int = 0) extends MsearchSpec
     /** multicolumn match: one tsquery per field, ANDed (compileMulti) */
     final case class MatchFields(fieldQueries: Seq[(String, String)]) extends MsearchSpec
     /** multicolumn ranked top-k: rank one field's query, siblings filter */
@@ -1055,13 +1088,15 @@ object Searcher {
       c: Long, op: String, k: Int, lo: Long, hi: Long)
 
   /** Compiled fused-batch slot (task-closure payload: no session refs).
-    * mode 0 = match, 1 = cover top-k, 2 = BM25 WAND top-k.
+    * mode 0 = match, 1 = cover top-k, 2 = BM25 WAND top-k, 3 = count
+    * (per-shard partial), 4 = Order2 composite top-k (c/op = the addon
+    * key).
     */
   private[search] final case class FusedSpec(
       qi: Int, mode: Int, cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
       terms: Array[String], dfs: Array[Long], ubs: Array[Double], k: Int,
       scoreCq: CompiledQuery = null, scoreMap: Array[Int] = null,
-      method: Int = 0)
+      method: Int = 0, c: Long = 0L, op: String = "")
 
   /** One ORDER BY key of a [[Searcher.topKMulti]] scan. */
   sealed trait OrderKey
@@ -1095,6 +1130,8 @@ object Searcher {
       case Match(q) => key("M", q)
       case Bm25(ts, k) => key("B" +: k.toString +: ts: _*)
       case Cover(q, k, m) => key("C", q, k.toString, m.toString)
+      case Order2(q, c, op, k, m) =>
+        key("O2", q, c.toString, op, k.toString, m.toString)
       case MatchFields(fq) => key("MF" +: fq.flatMap(p => Seq(p._1, p._2)): _*)
       case CoverFields(rf, rq, fl, k) =>
         key(Seq("CF", rf, rq, k.toString) ++ fl.flatMap(p => Seq(p._1, p._2)): _*)

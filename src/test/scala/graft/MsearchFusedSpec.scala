@@ -184,6 +184,53 @@ class MsearchFusedSpec extends AnyFunSuite {
     assert(got(1).map(_._2).toSet == soloR)
   }
 
+  test("Order2 slots (rank, addon, docId composite) equal solo topKMulti") {
+    import Searcher.{MsearchSpec, OrderKey}
+    import MsearchSpec._
+    // templated texts make rank-distance ties common, so the addon second
+    // key genuinely decides membership at the k boundary; signed addons
+    val specs = Seq(
+      Order2("even & triple", -700L, "both", 7),
+      Order2("common & rare7", 500L, "left", 5),   // one-sided: misses drop
+      Order2("!even", 0L, "both", 5),              // full-scan fallback rides
+      Match("even & rare7"),                       // plain slot in same batch
+      Order2("common & triple", 0L, "both", 9,
+        method = graft.query.CoverRank.NormUniq))  // UNIQ: heap fallback rides
+    val got = altSearcher.msearch(specs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    def solo(q: String, c: Long, op: String, k: Int, m: Int = 0): Set[(Long, Double)] =
+      altSearcher.topKMulti(q, Seq(OrderKey.Rank(m), OrderKey.Addon(c, op)), k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got(0).map(t => (t._2, t._3)).toSet == solo("even & triple", -700L, "both", 7))
+    assert(got(0).size == 7)
+    assert(got(1).map(t => (t._2, t._3)).toSet == solo("common & rare7", 500L, "left", 5))
+    assert(got(2).map(t => (t._2, t._3)).toSet == solo("!even", 0L, "both", 5))
+    assert(got(4).map(t => (t._2, t._3)).toSet ==
+      solo("common & triple", 0L, "both", 9, m = graft.query.CoverRank.NormUniq))
+    val soloMatch = altSearcher.matchingDocs("even & rare7").collect()
+      .map(_.getLong(0)).toSet
+    assert(got(3).map(_._2).toSet == soloMatch)
+  }
+
+  test("Order2 addon tie-break decides the k boundary (not rank+docId alone)") {
+    import Searcher.{MsearchSpec, OrderKey}
+    // adversarial check: if the fused path ordered by (rank, docId) and
+    // ignored the addon key, the boundary membership would differ from the
+    // composite order whenever rank ties straddle the cutoff
+    val q = "even & triple"; val k = 7
+    val byRankDoc = altSearcher.topKMulti(q, Seq(OrderKey.Rank()), k)
+      .collect().map(_.getLong(0)).toSet
+    val composite = altSearcher.topKMulti(q,
+      Seq(OrderKey.Rank(), OrderKey.Addon(-700L, "both")), k)
+      .collect().map(_.getLong(0)).toSet
+    assert(byRankDoc != composite,
+      "fixture no longer exercises the addon tie-break; change q/c/k")
+    val fused = altSearcher.msearch(Seq(MsearchSpec.Order2(q, -700L, "both", k)))
+      .collect().map(_.getLong(1)).toSet
+    assert(fused == composite)
+  }
+
   test("multicolumn ordered-scan slots (AddonFields/AddonRangeFields)") {
     import Searcher.MsearchSpec._
     val d = java.nio.file.Files.createTempDirectory("msearchaltm").toString
