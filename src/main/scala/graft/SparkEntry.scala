@@ -400,6 +400,27 @@ object SparkEntry {
         .msearchCounts(Seq("order & merge", "win:* & sort", "zzzabsent"))
         .orderBy("qi")
     }),
+    "ft_msearch_mixed" -> ((s, dir) => {
+      // ONE fused batch mixing result KINDS: Count slots ship only their
+      // per-shard partial counts (one output row, docId = cnt) while
+      // match/top-k slots stream docIds — all slots share the batch's
+      // single postings scan (MsearchSpec.Count riding msearch). Slot 3
+      // follows ft_topk_bm25's rounding-tie discipline.
+      import graft.search.Searcher.MsearchSpec._
+      val m = IndexCache.searcher(s, dir).msearch(Seq(
+        Count("merge & window"),
+        Match("order & merge"),
+        Count("win:* & sort"),
+        Bm25(Seq("merge", "window", "vector"), 20)))
+      val s3 = m.where(col("qi") === 3)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("docId")).limit(10)
+        .select(col("qi"), col("docId"), col("score"))
+      m.where(col("qi") =!= 3).select(col("qi"), col("docId"), col("score"))
+        .union(s3)
+        .select(col("qi"), col("docId").as("doc_id"), col("score"))
+        .orderBy("qi", "doc_id")
+    }),
     "ft_match_ids" -> ((s, dir) => {
       IndexCache.searcher(s, dir).matchingDocs("window & (hash | sort)")
         .select(col("docId").as("doc_id")).orderBy("doc_id")
@@ -1137,6 +1158,36 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2, 0
         |ORDER BY qi""".stripMargin),
+    // mixed-kind fused batch: count slots emit (qi, cnt AS doc_id, cnt);
+    // match/top-k slots replay their solo oracles, tagged by qi
+    "ft_msearch_mixed" -> (ToksCte +
+      """,
+        |c0 AS (SELECT count(*) AS cnt FROM (
+        |  SELECT doc_id FROM toks WHERE term='merge'
+        |  INTERSECT SELECT doc_id FROM toks WHERE term='window') x),
+        |m1 AS (SELECT doc_id FROM toks WHERE term='order'
+        |       INTERSECT SELECT doc_id FROM toks WHERE term='merge'),
+        |c2 AS (SELECT count(*) AS cnt FROM (
+        |  SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'win%'
+        |  INTERSECT SELECT DISTINCT doc_id FROM toks WHERE term='sort') x),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1,2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE term IN ('merge','window','vector') GROUP BY 1),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |           (SELECT count(*) FROM toks)*1.0/(SELECT count(*) FROM documents) AS avgl),
+        |bscores AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1+(n-df+0.5)/(df+0.5)) * (tf*2.2)/(tf+1.2*(0.25+0.75*len/avgl))),4) AS score
+        |  FROM tf JOIN df USING(term) JOIN lens ON lens.doc_id=tf.doc_id CROSS JOIN consts
+        |  GROUP BY tf.doc_id),
+        |b10 AS (SELECT doc_id, score FROM bscores ORDER BY score DESC, doc_id LIMIT 10)
+        |SELECT 0 AS qi, cnt AS doc_id, CAST(cnt AS DOUBLE) AS score FROM c0
+        |UNION ALL SELECT 1, doc_id, 0.0 FROM m1
+        |UNION ALL SELECT 2, cnt, CAST(cnt AS DOUBLE) FROM c2
+        |UNION ALL SELECT 3, doc_id, score FROM b10
+        |ORDER BY qi, doc_id""".stripMargin),
     "ft_match_ids" -> (ToksCte +
       """SELECT doc_id FROM (
         |  SELECT doc_id FROM toks WHERE term='window'

@@ -690,6 +690,11 @@ final class Searcher(spark: SparkSession, indexDir: String,
     val fused = scala.collection.mutable.ArrayBuffer.empty[Searcher.FusedSpec]
     val altFused = scala.collection.mutable.ArrayBuffer.empty[Searcher.AltFusedSpec]
     val fallback = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // count slots: every qi here gets a spine row (even void/zero-match);
+    // full-scan-only count queries aggregate their solo plan into the
+    // same (qi, partial) union
+    val countQis = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val countFallback = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def addMatch(qi: Int, cq: CompiledQuery): Unit = {
       if (SearchKernel.isVoid(cq)) ()
       else if (SearchKernel.needsFullScan(cq))
@@ -720,6 +725,16 @@ final class Searcher(spark: SparkSession, indexDir: String,
           .select(lit(qi).as("qi"), col("docId"), col("d0").as("score"))
       else fused += Searcher.FusedSpec(qi, 4, cq, SearchKernel.keySpecs(cq),
         null, null, null, k, null, null, method, c, op)
+    }
+    def addCount(qi: Int, cq: CompiledQuery): Unit = {
+      countQis += qi
+      if (SearchKernel.isVoid(cq)) () // 0 via the spine
+      else if (SearchKernel.needsFullScan(cq))
+        countFallback += matchingDocsC(cq)
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("partial"))
+          .select(lit(qi).as("qi"), col("partial"))
+      else fused += Searcher.FusedSpec(qi, 3, cq, SearchKernel.keySpecs(cq),
+        null, null, null, 0)
     }
     def addAddon(qi: Int, cq: CompiledQuery, c: Long, op: String, k: Int): Unit = {
       require(Set("both", "left", "right").contains(op), s"op: $op")
@@ -757,6 +772,8 @@ final class Searcher(spark: SparkSession, indexDir: String,
         case Match(q) => addMatch(qi, compile(q))
         case Cover(q, k, method) => addCover(qi, compile(q), k, method, null, null)
         case Order2(q, c, op, k, method) => addOrder2(qi, compile(q), c, op, k, method)
+        case Count(q) => addCount(qi, compile(q))
+        case CountFields(fq) => addCount(qi, compileMulti(fq))
         case Bm25(terms, k) => addBm25(qi, terms.map(keyOf), k)
         // field-scoped variants over a multi-column index: the same fused
         // pass — field-prefixed keys are just keys to the kernel
@@ -779,8 +796,8 @@ final class Searcher(spark: SparkSession, indexDir: String,
       }
     }
 
-    val fusedParts: Seq[DataFrame] =
-      if (fused.isEmpty) Nil
+    val (fusedParts, countKernelPart): (Seq[DataFrame], Option[DataFrame]) =
+      if (fused.isEmpty) (Nil, None)
       else {
         val fs = fused.toArray
         // ONE predicate over the union of every spec's terms: both kernel
@@ -815,6 +832,14 @@ final class Searcher(spark: SparkSession, indexDir: String,
                 case 2 => SearchKernel.wandShard(f.terms, f.dfs, f.ubs, nDocs,
                     avgLen, f.k, view)
                   .map { case (id, s) => (f.qi, id, s, -s, 0L) } // sort asc = score desc
+                // per-shard PARTIAL count: one row per (slot, shard); the
+                // match set never leaves the shard
+                case 3 =>
+                  var n = 0L
+                  val m = SearchKernel.matchShard(f.cq, f.keys, view,
+                    score = false, k = 0, method = 0, scoreCq = null, scoreMap = null)
+                  while (m.hasNext) { m.next(); n += 1 }
+                  Iterator.single((f.qi, n, 0.0, 0.0, 0L))
                 // composite (rank, addonDist, docId): per-shard heap pruned
                 // on the FULL tuple; sort2 carries the EXACT long addon
                 // distance so the global window tie-breaks losslessly
@@ -824,8 +849,9 @@ final class Searcher(spark: SparkSession, indexDir: String,
               }
             }
           }.toDF("qi", "docId", "score", "sort", "sort2")
-        val bounded = fs.filter(_.mode != 0)
+        val bounded = fs.filter(f => f.mode != 0 && f.mode != 3)
         val unbounded = fs.filter(_.mode == 0)
+        val counts = fs.filter(_.mode == 3)
         // bounded specs: per-shard heaps already pruned to ≤ k·nShards rows
         // each, so the global top-k window's exchange+sort touch only those;
         // match specs stream through their own branch, never sorted
@@ -844,7 +870,23 @@ final class Searcher(spark: SparkSession, indexDir: String,
         val unboundedPart =
           if (unbounded.isEmpty) None
           else Some(kernel(unbounded).select("qi", "docId", "score"))
-        (boundedPart ++ unboundedPart).toSeq
+        // count slots share the same scan+shuffle subtree (reused
+        // exchange); their per-shard partials are aggregated below with
+        // the spine and any full-scan fallbacks
+        val countPart =
+          if (counts.isEmpty) None
+          else Some(kernel(counts).select(col("qi"), col("docId").as("partial")))
+        ((boundedPart ++ unboundedPart).toSeq, countPart)
+      }
+    val countsPart: Option[DataFrame] =
+      if (countQis.isEmpty) None
+      else {
+        val spine = countQis.toSeq.toDF("qi").select(col("qi"), lit(0L).as("partial"))
+        val union = (Seq(spine) ++ countKernelPart.toSeq ++ countFallback.toSeq)
+          .reduce(_ union _)
+        Some(union.groupBy("qi").agg(sum("partial").as("cnt"))
+          .select(col("qi"), col("cnt").as("docId"),
+            col("cnt").cast("double").as("score")))
       }
     // ordered-scan slots: ONE alt-layout scan + shuffle for the whole
     // batch, mirroring the primary fused pass — bounded (top-k) and range
@@ -889,7 +931,8 @@ final class Searcher(spark: SparkSession, indexDir: String,
             .select(col("qi"), col("docId"), lit(0.0).as("score")))
         (boundedPart ++ unboundedPart).toSeq
       }
-    (fusedParts ++ altParts ++ fallback.toSeq).reduceOption(_ union _)
+    (fusedParts ++ countsPart.toSeq ++ altParts ++ fallback.toSeq)
+      .reduceOption(_ union _)
       .getOrElse(emptyBatch("docId" -> "long", "score" -> "double"))
   }
 
@@ -906,46 +949,16 @@ final class Searcher(spark: SparkSession, indexDir: String,
   def msearchCounts(queryStrs: Seq[String]): DataFrame =
     cached("msearchC" + Searcher.key(queryStrs: _*))(msearchCountsPlan(queryStrs))
 
-  /** Uncached twin of [[msearchCounts]] (fresh-planned ad-hoc path). */
-  def msearchCountsPlan(queryStrs: Seq[String]): DataFrame = {
-    val fusedSpecs = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, CompiledQuery, Array[SearchKernel.KeySpec])]
-    val fallback = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    queryStrs.zipWithIndex.foreach { case (q, qi) =>
-      val cq = compile(q)
-      if (SearchKernel.isVoid(cq)) () // 0 via the spine
-      else if (SearchKernel.needsFullScan(cq))
-        fallback += matchingDocsC(cq)
-          .agg(org.apache.spark.sql.functions.count(lit(1)).as("partial"))
-          .select(lit(qi).as("qi"), col("partial"))
-      else fusedSpecs += ((qi, cq, SearchKernel.keySpecs(cq)))
-    }
-    // spine: every slot surfaces a row even with zero matches
-    val spine = spark.range(queryStrs.size)
-      .select(col("id").cast("int").as("qi"), lit(0L).as("partial"))
-    val fusedPart =
-      if (fusedSpecs.isEmpty) None
-      else {
-        val fs = fusedSpecs.toArray
-        val pred = fs.map(f => termPredicate(f._2)).reduce(_ || _)
-        Some(postings.where(pred)
-          .groupByKey(_.shard)
-          .flatMapGroups { (shard: Int, it: Iterator[PostingRow]) =>
-            // shared term grouping across the batch (see msearchPlan kernel)
-            val view = new SearchKernel.ShardView(it)
-            fs.iterator.map { case (qi, cq, keys) =>
-              var n = 0L
-              val m = SearchKernel.matchShard(cq, keys, view,
-                score = false, k = 0, method = 0, scoreCq = null, scoreMap = null)
-              while (m.hasNext) { m.next(); n += 1 }
-              (qi, n)
-            }
-          }.toDF("qi", "partial"))
-      }
-    (Seq(spine) ++ fusedPart.toSeq ++ fallback.toSeq).reduce(_ union _)
-      .groupBy("qi")
-      .agg(sum("partial").as("cnt"))
-  }
+  /** Uncached twin of [[msearchCounts]] (fresh-planned ad-hoc path) —
+    * sugar over a batch of [[Searcher.MsearchSpec.Count]] slots through
+    * the unified fused planner: Count slots emit (qi, docId = cnt), so
+    * counts-only batches keep the exact shape this method always had
+    * (one scan + one shuffle of per-shard partials, a spine row per
+    * slot), and mixed match+count batches share ONE scan.
+    */
+  def msearchCountsPlan(queryStrs: Seq[String]): DataFrame =
+    msearchPlan(queryStrs.map(Searcher.MsearchSpec.Count(_)))
+      .select(col("qi"), col("docId").as("cnt"))
 
   /** docIds whose indexed value tokenizes to NOTHING (empty or NULL
     * column) — served from the reserved placeholder key the build indexes
@@ -1054,6 +1067,19 @@ object Searcher {
       */
     final case class Order2(query: String, c: Long, op: String, k: Int,
         method: Int = 0) extends MsearchSpec
+    /** match COUNT riding the fused batch: ships only the per-shard
+      * PARTIAL count (the match set never leaves its shard — shuffle
+      * volume for the slot is nShards rows regardless of match count).
+      * Emits exactly ONE row per slot even for void/zero-match queries:
+      * (qi, docId = the count, score = the count as double).
+      * [[Searcher.msearchCounts]] is sugar over a batch of these; mixing
+      * Count slots with Match/Bm25/Cover/Order2 slots shares the ONE
+      * postings scan across all of them.
+      */
+    final case class Count(query: String) extends MsearchSpec
+    /** multicolumn [[Count]]: one tsquery per field, ANDed */
+    final case class CountFields(fieldQueries: Seq[(String, String)])
+      extends MsearchSpec
     /** multicolumn match: one tsquery per field, ANDed (compileMulti) */
     final case class MatchFields(fieldQueries: Seq[(String, String)]) extends MsearchSpec
     /** multicolumn ranked top-k: rank one field's query, siblings filter */
@@ -1132,6 +1158,8 @@ object Searcher {
       case Cover(q, k, m) => key("C", q, k.toString, m.toString)
       case Order2(q, c, op, k, m) =>
         key("O2", q, c.toString, op, k.toString, m.toString)
+      case Count(q) => key("K", q)
+      case CountFields(fq) => key("KF" +: fq.flatMap(p => Seq(p._1, p._2)): _*)
       case MatchFields(fq) => key("MF" +: fq.flatMap(p => Seq(p._1, p._2)): _*)
       case CoverFields(rf, rq, fl, k) =>
         key(Seq("CF", rf, rq, k.toString) ++ fl.flatMap(p => Seq(p._1, p._2)): _*)

@@ -90,6 +90,59 @@ class MsearchFusedSpec extends AnyFunSuite {
     assert(got.size == qs.size)
   }
 
+  test("Count slots: mixed match+count batch shares one scan; spine covers voids") {
+    import Searcher.MsearchSpec._
+    val specs = Seq(
+      Count("even & triple"),
+      Match("even & rare7"),
+      Count("prefixed:* & even"),   // prefix expansion inside a count slot
+      Count("zzzabsent"),           // zero matches: spine row with cnt 0
+      Count(""),                    // void: spine row with cnt 0
+      Count("!rare7"),              // full-scan fallback aggregated in
+      Bm25(Seq("rare7", "veryrare"), 4))
+    val df = searcher.msearchPlan(specs)
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    // count slots: exactly one row, docId carries the count
+    def cntOf(qi: Int): Long = {
+      val rows = got(qi); assert(rows.size == 1, s"slot $qi rows=${rows.size}")
+      rows.head._2
+    }
+    assert(cntOf(0) == searcher.count("even & triple"))
+    assert(cntOf(2) == searcher.count("prefixed:* & even"))
+    assert(cntOf(3) == 0L)
+    assert(cntOf(4) == 0L)
+    assert(cntOf(5) == searcher.count("!rare7"))
+    val soloMatch = searcher.matchingDocs("even & rare7").collect()
+      .map(_.getLong(0)).toSet
+    assert(got(1).map(_._2).toSet == soloMatch)
+    val soloBm25 = searcher.topKBm25(Seq("rare7", "veryrare"), 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got(6).map(t => (t._2, t._3)).toSet == soloBm25)
+    // the count branch must REUSE the match/bm25 branches' exchange, not
+    // rescan: one scan for the whole mixed batch
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Reused"), plan.take(3000))
+  }
+
+  test("CountFields: field-scoped count slots over a multicolumn index") {
+    import Searcher.MsearchSpec._
+    val d = java.nio.file.Files.createTempDirectory("msearchcf").toString
+    val docs = (0 until 600).map { i =>
+      (i.toLong, text(i), s"lang${i % 3}")
+    }.toDF("doc_id", "body", "lang")
+    IndexBuilder.buildFields(spark, docs, "doc_id",
+      Seq("body" -> "body", "lang" -> "lang"), d,
+      IndexBuilder.Params(nShards = 2))
+    val s = new Searcher(spark, d)
+    val fq = Seq("body" -> "even", "lang" -> "lang1")
+    val got = s.msearch(Seq(CountFields(fq), MatchFields(fq))).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+    val soloIds = s.matchingDocsMulti(fq).collect().map(_.getLong(0)).toSet
+    assert(got(0).map(_._2).toList == List(soloIds.size.toLong))
+    assert(got(1).map(_._2).toSet == soloIds && soloIds.nonEmpty)
+  }
+
   test("24-spec heterogeneous batch: every slot equals its solo query") {
     import Searcher.MsearchSpec._
     // serving-tier batch size: 8 boolean, 8 BM25, 6 cover, a prefix and a
