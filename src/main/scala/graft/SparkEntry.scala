@@ -153,6 +153,20 @@ object SparkEntry {
           IndexBuilder.Params(nShards = 8, attach = Some("ts_us"), altOrder = true))
         new Searcher(s, dir)
       })
+    /** float-addon variant: attach = order-preserving IEEE bits of
+      * n_chars/7.0 ([[graft.build.AddonUnits.floatOrderedBits]]) — float
+      * distance scans in VALUE units (the reference's float distance
+      * opclasses, btree_rum.c:249-323) through the alt-order layout.
+      */
+    def searcherF(s: SparkSession, sfDir: String): Searcher =
+      cache.computeIfAbsent(s"$sfDir#float", _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+        val corpus = documents(s, sfDir).withColumn("fbits",
+          graft.build.AddonUnits.floatOrderedBits(col("n_chars") / lit(7.0)))
+        IndexBuilder.build(s, corpus, "doc_id", "text", dir,
+          IndexBuilder.Params(nShards = 8, attach = Some("fbits"), altOrder = true))
+        new Searcher(s, dir)
+      })
     def searcherM(s: SparkSession, sfDir: String): Searcher =
       cache.computeIfAbsent(s"$sfDir#multi", _ => {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
@@ -696,6 +710,17 @@ object SparkEntry {
       IndexCache.searcherT(s, dir).topKAddon("69", c, "both", 10)
         .select(col("docId").as("event_id"), col("addon").as("ts_us"),
           col("distance").cast("long").as("dist"))
+    }),
+    "ft_addon_float" -> ((s, dir) => {
+      // WHERE merge & window ORDER BY f <=> 85.5 LIMIT 10 in float VALUE
+      // units (f = n_chars/7.0, indexed as order-preserving IEEE bits);
+      // the alt fast path ranks the double distance's own bit image, so
+      // early termination survives the unit change
+      IndexCache.searcherF(s, dir)
+        .topKAddonFloat("merge & window", 85.5, "both", 10)
+        .select(col("docId").as("doc_id"), col("value").as("f"),
+          col("distance").as("dist"))
+        .orderBy("dist", "doc_id")
     }),
     "ft_msearch_addon" -> ((s, dir) => {
       // fused batch WITH ordered-scan slots: boolean match (primary
@@ -1643,6 +1668,13 @@ object SparkEntry {
         |FROM events
         |WHERE list_contains(regexp_extract_all(lower(props), '[a-z0-9]+'), '69')
         |ORDER BY dist, event_id LIMIT 10""".stripMargin,
+    "ft_addon_float" -> (ToksCte +
+      """SELECT d.doc_id, d.n_chars/7.0 AS f,
+        |  abs(d.n_chars/7.0 - 85.5) AS dist
+        |FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
+        |ORDER BY dist, d.doc_id LIMIT 10""".stripMargin),
     "ft_addon_signed_or" -> (ToksCte +
       """SELECT d.doc_id, d.n_chars - 600 AS n_signed,
         |  CAST(abs(d.n_chars - 550) AS BIGINT) AS dist

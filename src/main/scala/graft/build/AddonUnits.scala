@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * |-------------------|----------------------|--------------------------|
   * | timestamp         | [[timestampMicros]]  | exact, in microseconds   |
   * | money / decimal   | [[scaledLong]]       | exact, in 10^-scale units|
-  * | float / double    | [[floatOrderedBits]] | ORDER exact; `<=>` rank- |
-  * |                   |                      | space, not value units   |
+  * | float / double    | [[floatOrderedBits]] | ORDER exact; `<=>` in    |
+  * |                   |                      | VALUE units via          |
+  * |                   |                      | `Searcher.topKAddonFloat`|
   */
 object AddonUnits {
 
@@ -74,10 +75,11 @@ object AddonUnits {
     * flip the non-sign bits so -0.0 → -1 and more-negative → more-negative.
     * ORDERING is exact for every value (incl. ±0.0, denormals, ±Inf), so
     * range predicates ([[graft.search.Searcher.rangeAddon]]) and one-sided
-    * ordered scans (`<=|` / `|=>`) are exact in value order. Symmetric
-    * `<=>` distances are RANK-space (monotone per side but not linear in
-    * float units) — a workload needing |a-c| in value units should index
-    * [[scaledLong]] instead. NaN policy: canonical NaN maps above +Inf
+    * ordered scans (`<=|` / `|=>`) are exact in value order. Distance
+    * queries in VALUE units (`|a-c|` as an exact double) are served by
+    * `Searcher.topKAddonFloat` / `rangeAddonFloat`, which rank the
+    * double distance's own bit image through the same alt-order kernel
+    * (early termination preserved). NaN policy: canonical NaN maps above +Inf
     * (sorts last, one equivalence class), mirroring SQL's NULLS-LAST-ish
     * treatment rather than poisoning comparisons.
     */

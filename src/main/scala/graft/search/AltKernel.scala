@@ -348,13 +348,25 @@ object AltKernel extends Serializable {
     */
   def topKAddonShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
                      rows: Iterator[PostingRow], c: Long, op: String,
-                     k: Int): AltResult =
-    topKAddonShard(cq, keys, new ShardCells(rows), c, op, k)
+                     k: Int, floatUnits: Boolean = false): AltResult =
+    topKAddonShard(cq, keys, new ShardCells(rows), c, op, k, floatUnits)
 
-  /** [[topKAddonShard]] over a shared [[ShardCells]] (fused batches). */
+  /** [[topKAddonShard]] over a shared [[ShardCells]] (fused batches).
+    *
+    * `floatUnits = true` serves VALUE-space float distance over addons
+    * encoded with [[graft.build.AddonUnits.floatOrderedBits]]: the
+    * distance closure becomes `doubleToLongBits(|decode(a) - decode(c)|)`
+    * — the bit image of a non-negative double is order-preserving, so the
+    * heap, cross-side merge and early termination are untouched, and the
+    * emitted long distance decodes back to the exact double via
+    * `longBitsToDouble`. Per-side monotonicity (what early termination
+    * needs) holds because bit order = value order on each side of c.
+    * NaN addons map above +Inf in both key and distance space (sort last,
+    * one equivalence class — the documented AddonUnits policy).
+    */
   def topKAddonShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
                      shardCells: ShardCells, c: Long, op: String,
-                     k: Int): AltResult = {
+                     k: Int, floatUnits: Boolean): AltResult = {
     val cells = buildCells(keys, shardCells)
     val reqIdx = SearchKernel.requiredKeys(cq)
     require(reqIdx.nonEmpty, "alt scan needs required keys (caller gates)")
@@ -383,14 +395,22 @@ object AltKernel extends Serializable {
     }
 
     // exact saturating Long distances: overflow-safe AND bit-exact at any
-    // magnitude (double would lose sub-256 resolution past 2^53)
+    // magnitude (double would lose sub-256 resolution past 2^53); float
+    // units swap in the double-distance bit image (same ordering algebra)
+    val (distUp, distDown): (Long => Long, Long => Long) =
+      if (floatUnits) {
+        val cv = graft.build.AddonUnits.floatFromOrderedBits(c)
+        val f = (a: Long) => java.lang.Double.doubleToLongBits(
+          Math.abs(graft.build.AddonUnits.floatFromOrderedBits(a) - cv))
+        (f, f)
+      } else ((a: Long) => satSub(a, c), (a: Long) => satSub(c, a))
     op match {
-      case "right" => run(forward = true, c, Long.MinValue, a => satSub(a, c))
-      case "left" => run(forward = false, c, Long.MaxValue, a => satSub(c, a))
+      case "right" => run(forward = true, c, Long.MinValue, distUp)
+      case "left" => run(forward = false, c, Long.MaxValue, distDown)
       case "both" =>
-        run(forward = true, c, Long.MinValue, a => satSub(a, c))
+        run(forward = true, c, Long.MinValue, distUp)
         if (c != Long.MinValue)
-          run(forward = false, c - 1, Long.MaxValue, a => satSub(c, a))
+          run(forward = false, c - 1, Long.MaxValue, distDown)
       case other => throw new IllegalArgumentException(s"op: $other")
     }
     AltResult(heap.drain(), visited)

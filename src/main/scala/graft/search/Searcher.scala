@@ -293,6 +293,84 @@ final class Searcher(spark: SparkSession, indexDir: String,
       topKAddonC(compileMulti(fieldQueries), c, op, k)
     }
 
+  /** Float-typed ordered scan in VALUE units: `WHERE t @@ q ORDER BY
+    * f <op> c LIMIT k` with distance = |f - c| as an exact double, over an
+    * index whose attach column was encoded with
+    * [[graft.build.AddonUnits.floatOrderedBits]] (the reference's float
+    * distance opclasses, btree_rum.c:249-323). The alt fast path streams
+    * in bit order (= value order per side) and ranks on the double
+    * distance's own bit image — early termination preserved; the fallback
+    * decodes and ranks the same double. NaN addons sort last on both
+    * paths (Spark orders double NaN greatest; the kernel's canonical-NaN
+    * bit image is above +Inf's). Output (docId, value, distance).
+    */
+  def topKAddonFloat(queryStr: String, c: Double, op: String, k: Int): DataFrame =
+    cached("topKAF" + Searcher.key(queryStr,
+        java.lang.Double.doubleToLongBits(c).toString, op, k.toString)) {
+      topKAddonFloatC(compile(queryStr), c, op, k)
+    }
+
+  private def topKAddonFloatC(cq: CompiledQuery, c: Double, op: String,
+                              k: Int): DataFrame = {
+    require(Set("both", "left", "right").contains(op), s"op: $op")
+    val cBits = graft.build.AddonUnits.floatOrderedBits(c)
+    val decode = udf((bits: Long) =>
+      graft.build.AddonUnits.floatFromOrderedBits(bits))
+    if (altServes(cq)) {
+      val keys = SearchKernel.keySpecs(cq)
+      // rank/limit on the long bit-image distance (exact), decode the k
+      // survivors only; the decode UDF touches ≤ k·nShards rows
+      val bitsToDouble = udf((bits: Long) => java.lang.Double.longBitsToDouble(bits))
+      altPostings.where(termPredicate(cq))
+        .groupByKey(_.shard)
+        .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
+          AltKernel.topKAddonShard(cq, keys, it, cBits, op, k,
+            floatUnits = true).rows.iterator)
+        .toDF("docId", "dist", "addon")
+        .orderBy(col("dist").asc, col("docId").asc)
+        .limit(k)
+        .select(col("docId"), decode(col("addon")).as("value"),
+          bitsToDouble(col("dist")).as("distance"))
+    } else {
+      // one-sided predicates in BITS space (well-defined for NaN, matching
+      // the kernel: NaN > +Inf > finite); distance in decoded value space
+      val v = decode(col("addon"))
+      val keep = op match {
+        case "both" => lit(true)
+        case "left" => col("addon") <= cBits
+        case "right" => col("addon") >= cBits
+      }
+      val dist = op match {
+        case "both" => abs(v - lit(c))
+        case "left" => lit(c) - v
+        case "right" => v - lit(c)
+      }
+      matchingWithAddonC(cq).where(keep)
+        .withColumn("value", v)
+        .withColumn("distance", dist)
+        .orderBy(col("distance").asc, col("docId").asc)
+        .limit(k)
+        .select("docId", "value", "distance")
+    }
+  }
+
+  /** Float-typed range filter in VALUE units over a
+    * [[graft.build.AddonUnits.floatOrderedBits]]-encoded attach:
+    * bit order = value order, so the bounds map straight onto the
+    * long-keyed layout's bounded stream. Output (docId, value).
+    */
+  def rangeAddonFloat(queryStr: String, lo: Double, hi: Double): DataFrame =
+    cached("rangeAF" + Searcher.key(queryStr,
+        java.lang.Double.doubleToLongBits(lo).toString,
+        java.lang.Double.doubleToLongBits(hi).toString)) {
+      val decode = udf((bits: Long) =>
+        graft.build.AddonUnits.floatFromOrderedBits(bits))
+      rangeAddonC(compile(queryStr),
+          graft.build.AddonUnits.floatOrderedBits(lo),
+          graft.build.AddonUnits.floatOrderedBits(hi))
+        .select(col("docId"), decode(col("addon")).as("value"))
+    }
+
   private def topKAddonC(cq: CompiledQuery, c: Long, op: String, k: Int): DataFrame = {
     if (altServes(cq) && Set("both", "left", "right").contains(op)) {
       // index-ordered stream with early termination (order_by_attach scan,
@@ -903,7 +981,8 @@ final class Searcher(spark: SparkSession, indexDir: String,
             val cells = new AltKernel.ShardCells(it)
             specsArr.iterator.flatMap { f =>
               if (f.mode == 0)
-                AltKernel.topKAddonShard(f.cq, f.keys, cells, f.c, f.op, f.k)
+                AltKernel.topKAddonShard(f.cq, f.keys, cells, f.c, f.op, f.k,
+                    floatUnits = false)
                   .rows.iterator.map(t => (f.qi, t._1, t._2))
               else
                 AltKernel.rangeAddonShard(f.cq, f.keys, cells, f.lo, f.hi)

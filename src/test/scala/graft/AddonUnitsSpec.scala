@@ -107,4 +107,67 @@ class AddonUnitsSpec extends AnyFunSuite {
     assert(rows(sA.topKAddon("every & half", c, "both", 8)) == brute(8))
     assert(rows(sP.topKAddon("every & half", c, "both", 8)) == brute(8))
   }
+
+  test("end-to-end float VALUE-space ordered scan (alt + fallback), NaN last") {
+    import org.apache.spark.sql.functions.col
+    // value ties (i*7919 % 100 collides), signed values, ±0.0, ±Inf, NaN
+    val specials = Map(14 -> Double.NaN, 26 -> Double.PositiveInfinity,
+      34 -> Double.NegativeInfinity, 46 -> -0.0, 58 -> 0.0)
+    val docs = (0 until 400).map { i =>
+      val v = specials.getOrElse(i, ((i * 7919) % 100 - 50) / 4.0)
+      (i.toLong, "every " + (if (i % 2 == 0) "half " else "") + s"tail${i % 5}", v)
+    }
+    val df = docs.toDF("doc_id", "text", "f")
+      .withColumn("fbits", AddonUnits.floatOrderedBits(col("f")))
+    val dA = java.nio.file.Files.createTempDirectory("falt").toString
+    val dP = java.nio.file.Files.createTempDirectory("fplain").toString
+    IndexBuilder.build(spark, df, "doc_id", "text", dA,
+      IndexBuilder.Params(nShards = 2, attach = Some("fbits"), altOrder = true))
+    IndexBuilder.build(spark, df, "doc_id", "text", dP,
+      IndexBuilder.Params(nShards = 2, attach = Some("fbits")))
+    val sA = new Searcher(spark, dA)
+    val sP = new Searcher(spark, dP)
+    val matches = docs.filter(t => t._1 % 2 == 0) // "every & half"
+    val c = 3.25
+    // brute oracle ranks on the SAME bit image the engine uses (exact
+    // double order with NaN canonicalized last)
+    def key(v: Double, cc: Double, oneSided: Boolean): Long =
+      java.lang.Double.doubleToLongBits(
+        if (oneSided) cc - v else math.abs(v - cc))
+    def brute(cc: Double, k: Int): Seq[(Long, Double, Double)] =
+      matches.map(t => (t._1, t._3,
+          java.lang.Double.longBitsToDouble(key(t._3, cc, oneSided = false))))
+        .sortBy(t => (key(t._2, cc, oneSided = false), t._1)).take(k)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // finite region: both paths equal the brute composite order exactly
+    assert(rows(sA.topKAddonFloat("every & half", c, "both", 9)) == brute(c, 9))
+    assert(rows(sP.topKAddonFloat("every & half", c, "both", 9)) == brute(c, 9))
+    // ties present in the window (value collisions) — docId breaks them
+    assert(brute(c, 9).map(_._3).distinct.size < 9)
+    // full drain: NaN doc sorts LAST on both paths; ±Inf before it
+    val fullA = rows(sA.topKAddonFloat("every & half", c, "both", matches.size))
+    val fullP = rows(sP.topKAddonFloat("every & half", c, "both", matches.size))
+    assert(fullA.size == matches.size && fullP.size == matches.size)
+    assert(fullA.last._2.isNaN && fullP.last._2.isNaN)
+    assert(fullA.map(_._1) == fullP.map(_._1))
+    assert(fullA(matches.size - 2)._2.isInfinite)
+    // one-sided in bits space: -0.0 counts as <= 0.0, NaN excluded
+    val leftA = rows(sA.topKAddonFloat("every & half", 0.0, "left", matches.size))
+    val leftP = rows(sP.topKAddonFloat("every & half", 0.0, "left", matches.size))
+    val bruteLeft = matches
+      .filter(t => AddonUnits.floatOrderedBits(t._3) <= AddonUnits.floatOrderedBits(0.0))
+      .map(t => (t._1, t._3, java.lang.Double.longBitsToDouble(key(t._3, 0.0, oneSided = true))))
+      .sortBy(t => (key(t._2, 0.0, oneSided = true), t._1))
+    assert(leftA == bruteLeft)
+    assert(leftP == bruteLeft)
+    assert(bruteLeft.exists(t => java.lang.Double.doubleToRawLongBits(t._2) != 0L &&
+      t._2 == 0.0)) // the -0.0 doc made it in
+    // float range filter in value units
+    val gotR = sA.rangeAddonFloat("every & half", -5.0, 2.5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expR = matches.filter(t => !t._3.isNaN && t._3 >= -5.0 && t._3 <= 2.5)
+      .map(t => (t._1, t._3)).toSet
+    assert(gotR == expR && expR.nonEmpty)
+  }
 }
