@@ -735,6 +735,21 @@ object SparkEntry {
           col("score").cast("long").as("dist"))
         .orderBy("qi", "doc_id")
     }),
+    "ft_msearch_float" -> ((s, dir) => {
+      // fused batch in float VALUE units (f = n_chars/7.0 indexed as
+      // order-preserving IEEE bits): boolean match + float addon top-k +
+      // float range — the top-k slot rides the alt shared scan ranking the
+      // double distance's own bit image; the range slot is a pure bound
+      // desugar (bit order = value order)
+      import graft.search.Searcher.MsearchSpec._
+      IndexCache.searcherF(s, dir).msearch(Seq(
+        Match("order & merge"),
+        AddonFloat("merge & window", 85.5, "both", 10),
+        AddonRangeFloat("merge & window", 57.0, 100.0)))
+        .select(col("qi"), col("docId").as("doc_id"),
+          col("score").as("dist"))
+        .orderBy("qi", "doc_id")
+    }),
     "ft_empty_count" -> ((s, dir) => {
       // empty/NULL-column docs counted from the INDEX via the reserved
       // placeholder key (INCLUDE_EMPTY, src/rumscan.c:144-151) — the plan
@@ -1661,6 +1676,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2 AS qi, doc_id, CAST(0 AS BIGINT) AS dist FROM m
         |WHERE n_chars BETWEEN 400 AND 700
+        |ORDER BY qi, doc_id""".stripMargin),
+    "ft_msearch_float" -> (ToksCte +
+      """, m AS (SELECT d.doc_id, d.n_chars/7.0 AS f FROM documents d
+        |    WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |      AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window'))
+        |SELECT 0 AS qi, d.doc_id, CAST(0.0 AS DOUBLE) AS dist FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='order')
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |UNION ALL
+        |SELECT 1 AS qi, x.doc_id, x.dist FROM (
+        |  SELECT doc_id, abs(f - CAST(85.5 AS DOUBLE)) AS dist
+        |  FROM m ORDER BY dist, doc_id LIMIT 10) x
+        |UNION ALL
+        |SELECT 2 AS qi, doc_id, CAST(0.0 AS DOUBLE) AS dist FROM m
+        |WHERE f BETWEEN CAST(57.0 AS DOUBLE) AND CAST(100.0 AS DOUBLE)
         |ORDER BY qi, doc_id""".stripMargin),
     "ft_addon_ts" ->
       """SELECT event_id, epoch_us(ts) AS ts_us,

@@ -751,8 +751,9 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * Returns (qi, docId, score): score = 0.0 for Match and AddonRange,
     * BM25 score for Bm25 (top-k, higher better), cover distance for Cover
     * (top-k, lower better), exact saturating addon distance for Addon
-    * (top-k, lower better). Ordered-scan slots (Addon/AddonRange) run over
-    * the alt-order layout's OWN shared scan — a heterogeneous batch costs
+    * (top-k, lower better), exact double value-units distance for
+    * AddonFloat. Ordered-scan slots (Addon/AddonRange and their float
+    * value-units twins) run over the alt-order layout's OWN shared scan — a heterogeneous batch costs
     * one scan per layout it touches. Void specs contribute no rows;
     * full-scan-only and alt-unservable specs fall back to their solo
     * plans, unioned in.
@@ -824,6 +825,18 @@ final class Searcher(spark: SparkSession, indexDir: String,
         fallback += topKAddonC(cq, c, op, k)
           .select(lit(qi).as("qi"), col("docId"), col("distance").as("score"))
     }
+    def addAddonFloat(qi: Int, cq: CompiledQuery, c: Double, op: String,
+                      k: Int): Unit = {
+      require(Set("both", "left", "right").contains(op), s"op: $op")
+      if (SearchKernel.isVoid(cq)) ()
+      else if (altServes(cq))
+        altFused += Searcher.AltFusedSpec(qi, 0, cq, SearchKernel.keySpecs(cq),
+          graft.build.AddonUnits.floatOrderedBits(c), op, k, 0L, 0L,
+          floatUnits = true)
+      else
+        fallback += topKAddonFloatC(cq, c, op, k)
+          .select(lit(qi).as("qi"), col("docId"), col("distance").as("score"))
+    }
     def addRange(qi: Int, cq: CompiledQuery, lo: Long, hi: Long): Unit = {
       if (SearchKernel.isVoid(cq)) ()
       else if (altServes(cq))
@@ -871,6 +884,13 @@ final class Searcher(spark: SparkSession, indexDir: String,
         case AddonRange(q, lo, hi) => addRange(qi, compile(q), lo, hi)
         case AddonFields(fq, c, op, k) => addAddon(qi, compileMulti(fq), c, op, k)
         case AddonRangeFields(fq, lo, hi) => addRange(qi, compileMulti(fq), lo, hi)
+        // float value-units slots: the range desugars to encoded bounds
+        // (bit order = value order); the top-k carries floatUnits through
+        // to the kernel's distance closure
+        case AddonFloat(q, c, op, k) => addAddonFloat(qi, compile(q), c, op, k)
+        case AddonRangeFloat(q, lo, hi) => addRange(qi, compile(q),
+          graft.build.AddonUnits.floatOrderedBits(lo),
+          graft.build.AddonUnits.floatOrderedBits(hi))
       }
     }
 
@@ -982,7 +1002,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
             specsArr.iterator.flatMap { f =>
               if (f.mode == 0)
                 AltKernel.topKAddonShard(f.cq, f.keys, cells, f.c, f.op, f.k,
-                    floatUnits = false)
+                    f.floatUnits)
                   .rows.iterator.map(t => (f.qi, t._1, t._2))
               else
                 AltKernel.rangeAddonShard(f.cq, f.keys, cells, f.lo, f.hi)
@@ -999,10 +1019,22 @@ final class Searcher(spark: SparkSession, indexDir: String,
             val kPairs = bounded.flatMap(f => Seq(lit(f.qi), lit(f.k))).toSeq
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("qi").orderBy(col("dist").asc, col("docId").asc)
+            // float-units slots ranked on the double distance's bit image
+            // (same window — order-preserving); decode only the ≤ k·nShards
+            // survivor rows back to the exact double for the score column
+            val floatQis = bounded.filter(_.floatUnits).map(_.qi).toSeq
+            val score =
+              if (floatQis.isEmpty) col("dist").cast("double")
+              else {
+                val bitsToDouble =
+                  udf((bits: Long) => java.lang.Double.longBitsToDouble(bits))
+                when(col("qi").isInCollection(floatQis), bitsToDouble(col("dist")))
+                  .otherwise(col("dist").cast("double"))
+              }
             Some(altKernel(bounded)
               .withColumn("rank", row_number().over(w))
               .where(col("rank") <= element_at(map(kPairs: _*), col("qi")))
-              .select(col("qi"), col("docId"), col("dist").cast("double").as("score")))
+              .select(col("qi"), col("docId"), score.as("score")))
           }
         val unboundedPart =
           if (unbounded.isEmpty) None
@@ -1183,6 +1215,22 @@ object Searcher {
     /** multicolumn [[AddonRange]] */
     final case class AddonRangeFields(fieldQueries: Seq[(String, String)],
         lo: Long, hi: Long) extends MsearchSpec
+    /** [[Addon]] in float VALUE units over a
+      * [[graft.build.AddonUnits.floatOrderedBits]]-encoded attach: score =
+      * `|value - c|` as an exact double — the fused twin of
+      * [[Searcher.topKAddonFloat]]. Rides the same alt-layout shared scan,
+      * ranking the double distance's own bit image (early termination
+      * preserved); NaN addons sort last.
+      */
+    final case class AddonFloat(query: String, c: Double, op: String, k: Int)
+      extends MsearchSpec
+    /** [[AddonRange]] in float VALUE units: a pure bound desugar — bit
+      * order = value order for [[graft.build.AddonUnits.floatOrderedBits]]
+      * keys, so the slot IS an AddonRange over the encoded bounds (NaN
+      * never matches: its bit image sits above +Inf's).
+      */
+    final case class AddonRangeFloat(query: String, lo: Double, hi: Double)
+      extends MsearchSpec
   }
 
   /** Compiled alt-layout fused-batch slot (ordered scans). mode 0 =
@@ -1190,7 +1238,8 @@ object Searcher {
     */
   private[search] final case class AltFusedSpec(
       qi: Int, mode: Int, cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
-      c: Long, op: String, k: Int, lo: Long, hi: Long)
+      c: Long, op: String, k: Int, lo: Long, hi: Long,
+      floatUnits: Boolean = false)
 
   /** Compiled fused-batch slot (task-closure payload: no session refs).
     * mode 0 = match, 1 = cover top-k, 2 = BM25 WAND top-k, 3 = count
@@ -1249,6 +1298,14 @@ object Searcher {
         key(Seq("AF", c.toString, op, k.toString) ++ fq.flatMap(p => Seq(p._1, p._2)): _*)
       case AddonRangeFields(fq, lo, hi) =>
         key(Seq("RF", lo.toString, hi.toString) ++ fq.flatMap(p => Seq(p._1, p._2)): _*)
+      // doubles keyed by raw bits: distinguishes -0.0/0.0 and every NaN
+      // payload the caller could pass (toString would collapse them)
+      case AddonFloat(q, c, op, k) =>
+        key("AD", q, java.lang.Double.doubleToRawLongBits(c).toString, op,
+          k.toString)
+      case AddonRangeFloat(q, lo, hi) =>
+        key("RD", q, java.lang.Double.doubleToRawLongBits(lo).toString,
+          java.lang.Double.doubleToRawLongBits(hi).toString)
     }) + "\u0002"
   }
 

@@ -237,6 +237,61 @@ class MsearchFusedSpec extends AnyFunSuite {
     assert(got(1).map(_._2).toSet == soloR)
   }
 
+  private lazy val floatSearcher: Searcher = {
+    val d = java.nio.file.Files.createTempDirectory("msearchflt").toString
+    // signed float values with ties, ±0.0 and a NaN island, indexed as
+    // order-preserving IEEE bits
+    val docs = (0 until 2000).map { i =>
+      val v =
+        if (i % 501 == 0) Double.NaN
+        else (((i * 7919) % 2000) / 3).toDouble * 1.25 - 400.0
+      (i.toLong, text(i), v)
+    }.toDF("doc_id", "text", "f")
+      .withColumn("fbits", graft.build.AddonUnits.floatOrderedBits(
+        org.apache.spark.sql.functions.col("f")))
+      .drop("f")
+    IndexBuilder.build(spark, docs, "doc_id", "text", d,
+      IndexBuilder.Params(nShards = 4, blockSize = 64, attach = Some("fbits"),
+        altOrder = true))
+    new Searcher(spark, d)
+  }
+
+  test("AddonFloat/AddonRangeFloat slots equal their solo float queries") {
+    import Searcher.MsearchSpec._
+    val cBits = graft.build.AddonUnits.floatOrderedBits(-12.5)
+    val specs = Seq(
+      AddonFloat("even & triple", 3.75, "both", 7),
+      AddonRangeFloat("even & triple", -100.0, 150.0),
+      AddonFloat("even | rare7", -1.0, "right", 6), // OR -> solo fallback
+      // bits-space long slot on the SAME index: exercises the mixed
+      // float/non-float score decode in one bounded window
+      Addon("even & triple", cBits, "both", 5),
+      Match("even & rare7"))
+    val got = floatSearcher.msearch(specs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+
+    def soloFloat(q: String, c: Double, op: String, k: Int): Set[(Long, Double)] =
+      floatSearcher.topKAddonFloat(q, c, op, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(got(0).map(t => (t._2, t._3)).toSet ==
+      soloFloat("even & triple", 3.75, "both", 7))
+    assert(got(2).map(t => (t._2, t._3)).toSet ==
+      soloFloat("even | rare7", -1.0, "right", 6))
+    val soloRange = floatSearcher.rangeAddonFloat("even & triple", -100.0, 150.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(got(1).map(_._2).toSet == soloRange && soloRange.nonEmpty)
+    assert(got(1).forall(_._3 == 0.0))
+    val soloBits = floatSearcher.topKAddon("even & triple", cBits, "both", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(got(3).map(t => (t._2, t._3)).toSet == soloBits)
+    val soloMatch = floatSearcher.matchingDocs("even & rare7").collect()
+      .map(_.getLong(0)).toSet
+    assert(got(4).map(_._2).toSet == soloMatch)
+    // float distances are exact value-units doubles (sanity: a known one)
+    assert(got(0).forall(t => t._3 >= 0.0 && !t._3.isNaN))
+  }
+
   test("Order2 slots (rank, addon, docId composite) equal solo topKMulti") {
     import Searcher.{MsearchSpec, OrderKey}
     import MsearchSpec._
