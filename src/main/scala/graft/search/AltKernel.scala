@@ -266,6 +266,71 @@ object AltKernel extends Serializable {
     def wclasses(k: Int): Array[Byte] = { load(k); cacheW(k) }
   }
 
+  /** Candidate driver over the alt-order streams, in scan-direction
+    * (addon, docId) composite order. Two strategies, chosen once per scan:
+    *
+    *  - conjunctive queries (`requiredKeys` non-empty): leapfrog seek-join
+    *    of the required streams — candidates are their intersection;
+    *  - disjunctive queries (no key required in every match): sorted UNION
+    *    of all positive-polarity streams ([[SearchKernel.positiveKeys]] —
+    *    complete because a match must contain one of them unless the query
+    *    matches the empty doc, which the caller gates via `needsFullScan`).
+    *    This is RUM's shape: the ordered gettuple merges every scan key's
+    *    entry stream by addInfo and lets the consistent fn decide
+    *    (src/rumget.c:1272-1369 entryGetItem merge, :2303-2327 ordered
+    *    scan) — an `ORDER BY d <=> c` with an OR tsquery early-terminates
+    *    exactly like the AND shape.
+    *
+    * Either way candidates arrive in scan order, so distance monotonicity
+    * (what early termination needs) is preserved.
+    */
+  private final class Driver(drv: Array[AltCur], leapfrog: Boolean) {
+    var key: Long = 0L
+    var sub: Long = 0L
+
+    /** position on the next candidate; false when exhausted */
+    def advanceToCandidate(): Boolean = {
+      if (leapfrog) {
+        if (!nextAgreed(drv)) return false
+        key = drv(0).key
+        sub = drv(0).sub
+        true
+      } else {
+        var best = -1
+        var i = 0
+        while (i < drv.length) {
+          if (!drv(i).done &&
+              (best < 0 || drv(i).before(drv(best).key, drv(best).sub)))
+            best = i
+          i += 1
+        }
+        if (best < 0) false
+        else {
+          key = drv(best).key
+          sub = drv(best).sub
+          true
+        }
+      }
+    }
+
+    /** step past the current candidate (all streams sitting on it) */
+    def step(): Unit =
+      if (leapfrog) drv(0).step()
+      else {
+        var i = 0
+        while (i < drv.length) {
+          if (drv(i).at(key, sub)) drv(i).step()
+          i += 1
+        }
+      }
+  }
+
+  private def driveIdx(cq: CompiledQuery): (Array[Int], Boolean) = {
+    val req = SearchKernel.requiredKeys(cq)
+    if (req.nonEmpty) (req, true)
+    else (SearchKernel.positiveKeys(cq), false)
+  }
+
   /** Leapfrog the required cursors to their next agreed composite.
     * Returns false when any stream is exhausted.
     */
@@ -368,28 +433,30 @@ object AltKernel extends Serializable {
                      shardCells: ShardCells, c: Long, op: String,
                      k: Int, floatUnits: Boolean): AltResult = {
     val cells = buildCells(keys, shardCells)
-    val reqIdx = SearchKernel.requiredKeys(cq)
-    require(reqIdx.nonEmpty, "alt scan needs required keys (caller gates)")
+    val (drvKeys, leapfrog) = driveIdx(cq)
+    require(drvKeys.nonEmpty,
+      "alt scan needs candidate-driving keys (caller gates via needsFullScan)")
     val heap = new Heap(k)
     var visited = 0
 
     def run(forward: Boolean, startKey: Long, startSub: Long,
             dist: Long => Long): Unit = {
       val cursors = cells.map(b => new AltCur(b, forward))
-      val req = reqIdx.map(cursors)
+      val drv = drvKeys.map(cursors)
       val provider = new AltProvider(cursors)
-      req.foreach(_.stepToward(startKey, startSub))
+      drv.foreach(_.stepToward(startKey, startSub))
+      val driver = new Driver(drv, leapfrog)
       var going = true
-      while (going && nextAgreed(req)) {
-        val a = req(0).key
-        val d = req(0).sub
+      while (going && driver.advanceToCandidate()) {
+        val a = driver.key
+        val d = driver.sub
         val dd = dist(a)
         if (heap.full && dd > heap.worstDist) going = false
         else {
           visited += 1
           provider.reset(a, d)
           if (TsEval.matches(cq, provider)) heap.offer(dd, d, a)
-          req(0).step()
+          driver.step()
         }
       }
     }
@@ -429,22 +496,24 @@ object AltKernel extends Serializable {
                       shardCells: ShardCells, lo: Long,
                       hi: Long): Iterator[(Long, Long)] = {
     val cells = buildCells(keys, shardCells)
-    val reqIdx = SearchKernel.requiredKeys(cq)
-    require(reqIdx.nonEmpty, "alt scan needs required keys (caller gates)")
+    val (drvKeys, leapfrog) = driveIdx(cq)
+    require(drvKeys.nonEmpty,
+      "alt scan needs candidate-driving keys (caller gates via needsFullScan)")
     val cursors = cells.map(b => new AltCur(b, forward = true))
-    val req = reqIdx.map(cursors)
+    val drv = drvKeys.map(cursors)
     val provider = new AltProvider(cursors)
-    req.foreach(_.stepToward(lo, Long.MinValue))
+    drv.foreach(_.stepToward(lo, Long.MinValue))
+    val driver = new Driver(drv, leapfrog)
     val out = mutable.ArrayBuffer.empty[(Long, Long)]
     var going = true
-    while (going && nextAgreed(req)) {
-      val a = req(0).key
-      val d = req(0).sub
+    while (going && driver.advanceToCandidate()) {
+      val a = driver.key
+      val d = driver.sub
       if (a > hi) going = false
       else {
         provider.reset(a, d)
         if (TsEval.matches(cq, provider)) out += ((d, a))
-        req(0).step()
+        driver.step()
       }
     }
     out.iterator

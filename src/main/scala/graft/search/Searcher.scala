@@ -268,12 +268,15 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * Long.MaxValue saturate identically on both execution paths.
     */
   /** True when the alt-order layout can serve this query: layout present
-    * and candidates drivable from required keys (prefix keys included —
-    * AltKernel position-unions the expansion).
+    * and candidates index-drivable — conjunctive queries leapfrog their
+    * required keys; disjunctive queries (no required key, e.g. `a | b`)
+    * merge all positive keys' ordered streams, RUM's entry-merge shape
+    * (src/rumget.c:1272-1369, :2303-2327). Prefix keys included on both
+    * paths — AltKernel position-unions the expansion. Only full-scan
+    * queries (pure negation / empty-doc matchers) fall back.
     */
   private def altServes(cq: CompiledQuery): Boolean =
-    meta.altOrder && !SearchKernel.needsFullScan(cq) &&
-      SearchKernel.requiredKeys(cq).nonEmpty
+    meta.altOrder && !SearchKernel.needsFullScan(cq)
 
   def topKAddon(queryStr: String, c: Long, op: String, k: Int): DataFrame =
     cached("topKA" + Searcher.key(queryStr, c.toString, op, k.toString)) {

@@ -68,6 +68,41 @@ class AltOrderSpec extends AnyFunSuite {
     assert(a2 == p2 && a2.nonEmpty)
   }
 
+  test("disjunctive queries ride the alt path: union driver equals fallback") {
+    // no required key → candidates come from the sorted union of the
+    // positive keys' streams (RUM's entry merge, src/rumget.c:1272-1369);
+    // the plain-layout twin pins the sort-all fallback's answer
+    // (c inside the addon range [0, 13330] so every op has finite matches)
+    val c = 6660L
+    for (op <- Seq("both", "left", "right");
+         q <- Seq("sparse | half", "tail1 | tail2 | sparse", "px:* | sparse",
+                  "sparse | (half & every)", "(half & !sparse) | tail1")) {
+      val a = rows(altIdx.topKAddon(q, c, op, 9))
+      val p = rows(plainIdx.topKAddon(q, c, op, 9))
+      assert(a == p, s"op=$op q='$q': alt=$a plain=$p")
+      assert(a.nonEmpty, s"op=$op q='$q' should match")
+    }
+    val ra = altIdx.rangeAddon("sparse | half", 5000L, 9000L)
+      .orderBy("docId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rp = plainIdx.rangeAddon("sparse | half", 5000L, 9000L)
+      .orderBy("docId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ra == rp && ra.nonEmpty)
+  }
+
+  test("disjunctive early termination: union driver visits ~k, not matches") {
+    // 'half' matches ~half the corpus; the OR's top-5 from c must still
+    // visit ~5 candidates per direction off the merged stream
+    val cq = CompiledQuery.compile(TsQueryParser.parse("sparse | half"))
+    val keys = SearchKernel.keySpecs(cq)
+    val altRows = spark.read
+      .parquet(graft.build.SegmentCatalog.altDir(altDirPath))
+      .as[graft.build.PostingRow].collect()
+    val oneShard = altRows.filter(_.shard == 0)
+    val res = AltKernel.topKAddonShard(cq, keys, oneShard.iterator, 17770L, "both", 5)
+    assert(res.rows.length == 5)
+    assert(res.visited <= 30, s"visited=${res.visited} for k=5")
+  }
+
   test("alt range scan equals filter over all matches") {
     val a = altIdx.rangeAddon("every & half", 5000L, 9000L)
       .orderBy("docId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

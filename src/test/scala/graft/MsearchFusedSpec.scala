@@ -262,7 +262,7 @@ class MsearchFusedSpec extends AnyFunSuite {
     val specs = Seq(
       AddonFloat("even & triple", 3.75, "both", 7),
       AddonRangeFloat("even & triple", -100.0, 150.0),
-      AddonFloat("even | rare7", -1.0, "right", 6), // OR -> solo fallback
+      AddonFloat("even | rare7", -1.0, "right", 6), // OR: union-driven alt slot
       // bits-space long slot on the SAME index: exercises the mixed
       // float/non-float score decode in one bounded window
       Addon("even & triple", cBits, "both", 5),
