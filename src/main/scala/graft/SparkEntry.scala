@@ -684,6 +684,35 @@ object SparkEntry {
         .select(col("docId").as("doc_id"), col("addon").as("n_chars"))
         .orderBy("n_chars", "doc_id")
     }),
+    "ft_facet_addon" -> ((s, dir) => {
+      // facet histogram over the attached column (the date-histogram
+      // serving shape): matches per width-50 bucket of n_chars in
+      // [400, 700] — the alt layout's bounded scan collapses each shard
+      // to ≤ one row per bucket; only bucket partials shuffle
+      IndexCache.searcher(s, dir)
+        .countByAddonBucket("merge & window", 50L, 400L, 700L)
+        .orderBy("bucket")
+    }),
+    "ft_facet_or" -> ((s, dir) => {
+      // disjunctive facet: the union candidate driver (positive-key
+      // entry merge) feeding the bucket collapse — one pass, in order
+      IndexCache.searcher(s, dir)
+        .countByAddonBucket("merge | window", 100L, 0L, 1000L)
+        .orderBy("bucket")
+    }),
+    "ft_msearch_facet" -> ((s, dir) => {
+      // fused batch mixing facet slots with a count slot: the two facet
+      // slots share ONE alt-layout scan; only per-shard bucket/count
+      // partials shuffle regardless of match counts
+      import graft.search.Searcher.MsearchSpec._
+      IndexCache.searcher(s, dir).msearch(Seq(
+          Facet("merge & window", 50L, 400L, 700L),
+          Count("merge | window"),
+          Facet("merge | window", 100L, 0L, 1000L)))
+        .select(col("qi"), col("docId").as("key"),
+          col("score").cast("long").as("val"))
+        .orderBy("qi", "key")
+    }),
     "ft_addon_signed" -> ((s, dir) => {
       // NEGATIVE addons through the alt-order fast path: attach is the
       // signed n_chars - 600 (reference orders signed scalars by <=> 0,
@@ -1653,6 +1682,38 @@ object SparkEntry {
         |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
         |  AND d.n_chars BETWEEN 400 AND 700
         |ORDER BY d.n_chars, d.doc_id""".stripMargin),
+    "ft_facet_addon" -> (ToksCte +
+      """SELECT CAST(400 + ((d.n_chars - 400) // 50) * 50 AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
+        |  AND d.n_chars BETWEEN 400 AND 700
+        |GROUP BY 1 ORDER BY bucket""".stripMargin),
+    "ft_facet_or" -> (ToksCte +
+      """SELECT CAST((d.n_chars // 100) * 100 AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM documents d
+        |WHERE (d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |    OR d.doc_id IN (SELECT doc_id FROM toks WHERE term='window'))
+        |  AND d.n_chars BETWEEN 0 AND 1000
+        |GROUP BY 1 ORDER BY bucket""".stripMargin),
+    "ft_msearch_facet" -> (ToksCte +
+      """, mw AS (SELECT d.doc_id, d.n_chars FROM documents d
+        |    WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |      AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')),
+        |morw AS (SELECT d.doc_id, d.n_chars FROM documents d
+        |    WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |       OR d.doc_id IN (SELECT doc_id FROM toks WHERE term='window'))
+        |SELECT 0 AS qi, CAST(400 + ((n_chars - 400) // 50) * 50 AS BIGINT) AS key,
+        |    count(*) AS val
+        |  FROM mw WHERE n_chars BETWEEN 400 AND 700 GROUP BY 2
+        |UNION ALL
+        |SELECT 1, (SELECT count(*) FROM morw), (SELECT count(*) FROM morw)
+        |UNION ALL
+        |SELECT 2, CAST((n_chars // 100) * 100 AS BIGINT), count(*)
+        |  FROM morw WHERE n_chars BETWEEN 0 AND 1000 GROUP BY 2
+        |ORDER BY qi, key""".stripMargin),
     "ft_addon_signed" -> (ToksCte +
       """SELECT d.doc_id, d.n_chars - 600 AS n_signed,
         |  CAST(abs(d.n_chars - 600) AS BIGINT) AS dist

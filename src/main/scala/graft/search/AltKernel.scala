@@ -518,4 +518,33 @@ object AltKernel extends Serializable {
     }
     out.iterator
   }
+
+  /** Per-shard facet partials over the bounded ordered scan: bucket =
+    * lo + floor((addon-lo)/width)·width for matches in [lo, hi]. The
+    * candidate stream arrives in addon order, so each bucket's count
+    * closes when the stream crosses its boundary — at most one output
+    * row per (shard, non-empty bucket), no map needed. Exact Long math:
+    * addon-lo ≥ 0 in range, so truncating division IS floor.
+    */
+  def facetShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
+                 rows: Iterator[PostingRow], width: Long, lo: Long,
+                 hi: Long): Iterator[(Long, Long)] =
+    facetShard(cq, keys, new ShardCells(rows), width, lo, hi)
+
+  /** [[facetShard]] over a shared [[ShardCells]] (fused batches). */
+  def facetShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
+                 shardCells: ShardCells, width: Long, lo: Long,
+                 hi: Long): Iterator[(Long, Long)] = {
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    var curB = 0L
+    var n = 0L
+    rangeAddonShard(cq, keys, shardCells, lo, hi).foreach { case (_, a) =>
+      val b = lo + (a - lo) / width * width
+      if (n > 0 && b != curB) { out += ((curB, n)); n = 0L }
+      curB = b
+      n += 1
+    }
+    if (n > 0) out += ((curB, n))
+    out.iterator
+  }
 }

@@ -520,6 +520,53 @@ final class Searcher(spark: SparkSession, indexDir: String,
       matchingWithAddonC(cq).where(col("addon") >= lo && col("addon") <= hi)
   }
 
+  /** Facet histogram over the attached column (the date-histogram /
+    * numeric-facet serving shape): `WHERE t @@ q AND lo <= addon <= hi
+    * GROUP BY bucket`, bucket = lo + floor((addon-lo)/width)·width.
+    * Served from the alt-order layout as a BOUNDED ordered scan whose
+    * kernel collapses each shard to at most one row per bucket — shuffle
+    * volume is buckets × shards regardless of match count, the same
+    * partial-shipping shape as fused counts. The fallback groups the
+    * match+addon stream (addons ride the posting payload, no corpus
+    * join), which Spark partial-aggregates map-side. Only non-empty
+    * buckets return (SQL GROUP BY semantics). Returns (bucket, cnt).
+    */
+  def countByAddonBucket(queryStr: String, width: Long, lo: Long,
+                         hi: Long): DataFrame =
+    cached("facetA" + Searcher.key(queryStr, width.toString, lo.toString,
+      hi.toString)) {
+      countByAddonBucketC(compile(queryStr), width, lo, hi)
+    }
+
+  /** Multicolumn variant of [[countByAddonBucket]]. */
+  def countByAddonBucketMulti(fieldQueries: Seq[(String, String)],
+                              width: Long, lo: Long, hi: Long): DataFrame =
+    cached("facetAM" + Searcher.key(
+      fieldQueries.flatMap(p => Seq(p._1, p._2)) ++
+        Seq(width.toString, lo.toString, hi.toString): _*)) {
+      countByAddonBucketC(compileMulti(fieldQueries), width, lo, hi)
+    }
+
+  private def countByAddonBucketC(cq: CompiledQuery, width: Long, lo: Long,
+                                  hi: Long): DataFrame = {
+    Searcher.requireFacet(width, lo, hi)
+    if (SearchKernel.isVoid(cq))
+      spark.range(0).select(col("id").as("bucket"), col("id").as("cnt"))
+    else if (altServes(cq)) {
+      val keys = SearchKernel.keySpecs(cq)
+      altPostings.where(termPredicate(cq))
+        .groupByKey(_.shard)
+        .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
+          AltKernel.facetShard(cq, keys, it, width, lo, hi))
+        .toDF("bucket", "partial")
+        .groupBy("bucket").agg(sum("partial").as("cnt"))
+    } else
+      matchingWithAddonC(cq)
+        .where(col("addon") >= lo && col("addon") <= hi)
+        .groupBy(Searcher.bucketCol(col("addon"), width, lo).as("bucket"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+  }
+
   /** Ranked search: WHERE t @@ q ORDER BY t <=> q LIMIT k — the
     * rum.sql golden shape; distance = cover-density (CoverRank), ties by
     * docId ascending (reference tie-break on TID, src/rumsort.c:4003-4021).
@@ -849,6 +896,18 @@ final class Searcher(spark: SparkSession, indexDir: String,
         fallback += rangeAddonC(cq, lo, hi)
           .select(lit(qi).as("qi"), col("docId"), lit(0.0).as("score"))
     }
+    def addFacet(qi: Int, cq: CompiledQuery, w: Long, lo: Long,
+                 hi: Long): Unit = {
+      Searcher.requireFacet(w, lo, hi)
+      if (SearchKernel.isVoid(cq)) () // facet of nothing = no buckets
+      else if (altServes(cq))
+        altFused += Searcher.AltFusedSpec(qi, 2, cq, SearchKernel.keySpecs(cq),
+          w, "", 0, lo, hi)
+      else // fallback plan carries its own final agg; union it in directly
+        fallback += countByAddonBucketC(cq, w, lo, hi)
+          .select(lit(qi).as("qi"), col("bucket").as("docId"),
+            col("cnt").cast("double").as("score"))
+    }
     def addBm25(qi: Int, keys: Seq[String], k: Int): Unit = {
       val distinct = keys.distinct
       val stats = statsFor(distinct)
@@ -894,6 +953,9 @@ final class Searcher(spark: SparkSession, indexDir: String,
         case AddonRangeFloat(q, lo, hi) => addRange(qi, compile(q),
           graft.build.AddonUnits.floatOrderedBits(lo),
           graft.build.AddonUnits.floatOrderedBits(hi))
+        case Facet(q, w, lo, hi) => addFacet(qi, compile(q), w, lo, hi)
+        case FacetFields(fq, w, lo, hi) =>
+          addFacet(qi, compileMulti(fq), w, lo, hi)
       }
     }
 
@@ -1007,13 +1069,17 @@ final class Searcher(spark: SparkSession, indexDir: String,
                 AltKernel.topKAddonShard(f.cq, f.keys, cells, f.c, f.op, f.k,
                     f.floatUnits)
                   .rows.iterator.map(t => (f.qi, t._1, t._2))
-              else
+              else if (f.mode == 1)
                 AltKernel.rangeAddonShard(f.cq, f.keys, cells, f.lo, f.hi)
                   .map { case (d, _) => (f.qi, d, 0L) }
+              else // mode 2: per-shard facet partials (c = bucket width)
+                AltKernel.facetShard(f.cq, f.keys, cells, f.c, f.lo, f.hi)
+                  .map { case (b, n) => (f.qi, b, n) }
             }
           }.toDF("qi", "docId", "dist")
         val bounded = afs.filter(_.mode == 0)
         val unbounded = afs.filter(_.mode == 1)
+        val facets = afs.filter(_.mode == 2)
         val boundedPart =
           if (bounded.isEmpty) None
           else {
@@ -1043,7 +1109,16 @@ final class Searcher(spark: SparkSession, indexDir: String,
           if (unbounded.isEmpty) None
           else Some(altKernel(unbounded)
             .select(col("qi"), col("docId"), lit(0.0).as("score")))
-        (boundedPart ++ unboundedPart).toSeq
+        // facet slots: final sum over the per-shard bucket partials (rows
+        // shuffled here = buckets × shards per slot, never the matches);
+        // shares the batch's alt scan via exchange reuse like the others
+        val facetPart =
+          if (facets.isEmpty) None
+          else Some(altKernel(facets)
+            .groupBy("qi", "docId").agg(sum("dist").as("cnt"))
+            .select(col("qi"), col("docId"),
+              col("cnt").cast("double").as("score")))
+        (boundedPart ++ unboundedPart ++ facetPart).toSeq
       }
     (fusedParts ++ countsPart.toSeq ++ altParts ++ fallback.toSeq)
       .reduceOption(_ union _)
@@ -1234,10 +1309,41 @@ object Searcher {
       */
     final case class AddonRangeFloat(query: String, lo: Double, hi: Double)
       extends MsearchSpec
+    /** facet histogram riding the fused batch (the
+      * [[Searcher.countByAddonBucket]] shape): per-shard bucket PARTIALS
+      * are all that ship — ≤ buckets × shards rows per slot regardless of
+      * match count. Result rows are (qi, docId = bucket start,
+      * score = count as double); only non-empty buckets emit.
+      * Alt-unservable queries aggregate their solo fallback plan into the
+      * batch union.
+      */
+    final case class Facet(query: String, width: Long, lo: Long, hi: Long)
+      extends MsearchSpec
+    /** multicolumn [[Facet]]: one tsquery per field, ANDed */
+    final case class FacetFields(fieldQueries: Seq[(String, String)],
+        width: Long, lo: Long, hi: Long) extends MsearchSpec
+  }
+
+  private[search] def requireFacet(width: Long, lo: Long, hi: Long): Unit = {
+    require(width > 0, s"facet width must be positive: $width")
+    require(lo <= hi && hi - lo >= 0, // hi-lo < 0 means the span overflowed
+      s"facet range invalid (or span overflows Long): [$lo, $hi]")
+  }
+
+  /** Bucket start for an addon known to sit in [lo, hi]: lo +
+    * floor((addon-lo)/width)·width in EXACT Long arithmetic — addon-lo is
+    * non-negative in range, so truncation = floor, expressed as
+    * offset - (offset mod width) to stay in integer math (a double
+    * division would lose exactness past 2^53).
+    */
+  private[search] def bucketCol(addon: Column, width: Long, lo: Long): Column = {
+    val off = addon - lit(lo)
+    lit(lo) + (off - pmod(off, lit(width)))
   }
 
   /** Compiled alt-layout fused-batch slot (ordered scans). mode 0 =
-    * addon top-k, 1 = addon range.
+    * addon top-k, 1 = addon range, 2 = facet bucket partials (`c` carries
+    * the bucket width).
     */
   private[search] final case class AltFusedSpec(
       qi: Int, mode: Int, cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
@@ -1309,6 +1415,11 @@ object Searcher {
       case AddonRangeFloat(q, lo, hi) =>
         key("RD", q, java.lang.Double.doubleToRawLongBits(lo).toString,
           java.lang.Double.doubleToRawLongBits(hi).toString)
+      case Facet(q, w, lo, hi) =>
+        key("FA", q, w.toString, lo.toString, hi.toString)
+      case FacetFields(fq, w, lo, hi) =>
+        key(Seq("FAF", w.toString, lo.toString, hi.toString) ++
+          fq.flatMap(p => Seq(p._1, p._2)): _*)
     }) + "\u0002"
   }
 

@@ -103,6 +103,35 @@ class AltOrderSpec extends AnyFunSuite {
     assert(res.visited <= 30, s"visited=${res.visited} for k=5")
   }
 
+  test("facet buckets: alt bounded scan == fallback == brute force") {
+    // unaligned lo (505) and a width that doesn't divide the span: the
+    // bucket math must floor from lo, not from zero
+    for (q <- Seq("every & half", "sparse | half", "px:* & every")) {
+      def get(ix: Searcher): Seq[(Long, Long)] =
+        ix.countByAddonBucket(q, 700L, 505L, 9005L)
+          .orderBy("bucket").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val a = get(altIdx)
+      val p = get(plainIdx)
+      val brute = plainIdx.rangeAddon(q, 505L, 9005L).collect()
+        .map(_.getLong(1))
+        .groupBy(v => 505L + (v - 505L) / 700L * 700L)
+        .map { case (b, xs) => (b, xs.length.toLong) }.toSeq.sortBy(_._1)
+      assert(a == p, s"q='$q': alt=$a plain=$p")
+      assert(a == brute, s"q='$q': alt=$a brute=$brute")
+      assert(a.nonEmpty, s"q='$q' should have buckets")
+    }
+    // range that intersects no matches: zero buckets (GROUP BY semantics)
+    assert(altIdx.countByAddonBucket("sparse", 10L, 99991L, 99999L).count() == 0)
+    // invalid facet params fail fast
+    intercept[IllegalArgumentException] {
+      altIdx.countByAddonBucket("sparse", 0L, 0L, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      altIdx.countByAddonBucket("sparse", 10L, 100L, 0L)
+    }
+  }
+
   test("alt range scan equals filter over all matches") {
     val a = altIdx.rangeAddon("every & half", 5000L, 9000L)
       .orderBy("docId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -195,7 +195,7 @@ class MsearchFusedSpec extends AnyFunSuite {
       Addon("even & triple", -700L, "both", 7),
       Addon("common & rare7", 500L, "left", 5),
       AddonRange("even & triple", -1500L, -100L),
-      Addon("even | rare7", 0L, "right", 6), // OR: alt can't serve -> fallback
+      Addon("even | rare7", 0L, "right", 6), // OR: union-driven alt slot
       Match("even & rare7"))                 // primary-layout slot in the same batch
     val got = altSearcher.msearch(specs).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
@@ -235,6 +235,37 @@ class MsearchFusedSpec extends AnyFunSuite {
     val soloR = altSearcher.rangeAddon("prefixed:* & even", -2000L, 2000L)
       .collect().map(_.getLong(0)).toSet
     assert(got(1).map(_._2).toSet == soloR)
+  }
+
+  test("Facet slots: per-shard bucket partials equal solo facets (signed addons)") {
+    import Searcher.MsearchSpec._
+    val specs = Seq(
+      Facet("even & triple", 500L, -3000L, 3000L),
+      Count("even & triple"),
+      Facet("even | rare7", 1000L, -2500L, 2500L), // OR: union-driven alt slot
+      Facet("!rare7", 1000L, -3000L, 3000L),       // full-scan: fallback plan
+      Facet("zzzabsent", 100L, 0L, 1000L))         // zero matches: no buckets
+    val got = altSearcher.msearch(specs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).groupBy(_._1)
+    def solo(q: String, w: Long, lo: Long, hi: Long): Set[(Long, Double)] =
+      altSearcher.countByAddonBucket(q, w, lo, hi).collect()
+        .map(r => (r.getLong(0), r.getLong(1).toDouble)).toSet
+    assert(got(0).map(t => (t._2, t._3)).toSet ==
+      solo("even & triple", 500L, -3000L, 3000L))
+    assert(got(2).map(t => (t._2, t._3)).toSet ==
+      solo("even | rare7", 1000L, -2500L, 2500L))
+    assert(got(3).map(t => (t._2, t._3)).toSet ==
+      solo("!rare7", 1000L, -3000L, 3000L))
+    assert(!got.contains(4))
+    // bucket totals reconcile with the in-range match count
+    val inRange = altSearcher.rangeAddon("even & triple", -3000L, 3000L).count()
+    assert(got(0).map(_._3.toLong).sum == inRange && inRange > 0)
+    // facet slots share the batch's alt scan with ordered slots
+    val df = altSearcher.msearchPlan(Seq(
+      Addon("even & triple", 0L, "both", 5),
+      Facet("even & triple", 500L, -3000L, 3000L)))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("Reused"))
   }
 
   private lazy val floatSearcher: Searcher = {
