@@ -741,6 +741,20 @@ object SparkEntry {
         .select(col("docId").as("event_id"), col("addon").as("ts_us"),
           col("distance").cast("long").as("dist"))
     }),
+    "ft_facet_day" -> ((s, dir) => {
+      // the literal date histogram: daily counts of events whose props
+      // match '69', bucketed on the timestamp-typed addon (exact epoch-µs,
+      // width = 1 day) — Elasticsearch's date_histogram served from the
+      // alt layout's bounded scan, only per-shard day-partials shuffle
+      val day = 86400000000L
+      val lo = graft.build.AddonUnits.timestampMicros(
+        java.time.Instant.parse("2024-01-01T00:00:00Z"))
+      val hi = graft.build.AddonUnits.timestampMicros(
+        java.time.Instant.parse("2024-02-01T00:00:00Z")) - 1L
+      IndexCache.searcherT(s, dir).countByAddonBucket("69", day, lo, hi)
+        .select(col("bucket").as("day_us"), col("cnt"))
+        .orderBy("day_us")
+    }),
     "ft_addon_float" -> ((s, dir) => {
       // WHERE merge & window ORDER BY f <=> 85.5 LIMIT 10 in float VALUE
       // units (f = n_chars/7.0, indexed as order-preserving IEEE bits);
@@ -1760,6 +1774,15 @@ object SparkEntry {
         |FROM events
         |WHERE list_contains(regexp_extract_all(lower(props), '[a-z0-9]+'), '69')
         |ORDER BY dist, event_id LIMIT 10""".stripMargin,
+    "ft_facet_day" ->
+      """SELECT CAST(1704067200000000 +
+        |    ((epoch_us(ts) - 1704067200000000) // 86400000000) * 86400000000
+        |    AS BIGINT) AS day_us,
+        |  count(*) AS cnt
+        |FROM events
+        |WHERE list_contains(regexp_extract_all(lower(props), '[a-z0-9]+'), '69')
+        |  AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745599999999
+        |GROUP BY 1 ORDER BY day_us""".stripMargin,
     "ft_addon_float" -> (ToksCte +
       """SELECT d.doc_id, d.n_chars/7.0 AS f,
         |  abs(d.n_chars/7.0 - 85.5) AS dist
