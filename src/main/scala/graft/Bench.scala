@@ -149,13 +149,41 @@ object Bench {
     * (the reference pins exact counts the same way,
     * tests/pglist_tests.py:112-117).
     */
-  def fusedRowCounts(searcher: Searcher): Array[Long] = {
+  def fusedRowCounts(searcher: Searcher): Array[Long] =
+    specRowCounts(searcher, fusedSpecs)
+
+  /** Per-slot result-row counts for an arbitrary fused batch. */
+  def specRowCounts(searcher: Searcher,
+                    specs: Seq[Searcher.MsearchSpec]): Array[Long] = {
     import org.apache.spark.sql.functions.{count => fcount, lit}
-    val rows = searcher.msearchPlan(fusedSpecs)
+    val rows = searcher.msearchPlan(specs)
       .groupBy("qi").agg(fcount(lit(1)).as("cnt")).collect()
     val m = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    fusedSpecs.indices.map(i => m.getOrElse(i, 0L)).toArray
+    specs.indices.map(i => m.getOrElse(i, 0L)).toArray
   }
+
+  /** Ordered-scan serving batch (addon top-k / addon range / facet
+    * histogram slots) over an alt-order index: the fused family served
+    * from the alt layout's OWN shared scan. Kept at 6 slots so
+    * ScalingBench's per-batch query math (batch = fusedSpecs.length)
+    * holds for this phase too. Addon values in ScalingBench's alt corpus
+    * are pmod(xxhash64(doc_id), 100000) — constants below sit inside that
+    * domain.
+    */
+  val addonSpecs: Seq[Searcher.MsearchSpec] = {
+    import Searcher.MsearchSpec._
+    Seq(
+      Addon("merge & partition", 50000L, "both", 10),
+      AddonRange("hash | tree | heap", 10000L, 30000L),
+      Facet("merge | index", 5000L, 0L, 99999L),
+      Addon("seg:* & commit", 0L, "right", 10),
+      Facet("license & value", 10000L, 0L, 99999L),
+      AddonRange("sort & !spill", 40000L, 60000L))
+  }
+
+  /** The ordered-scan batch as ONE fresh-planned fused job. */
+  def queryBatchAddonFresh(searcher: Searcher): Int =
+    queryBatchFusedN(searcher, addonSpecs)
 
   /** [[queryBatchFused]] over an arbitrary spec batch (fresh-planned). */
   def queryBatchFusedN(searcher: Searcher, specs: Seq[Searcher.MsearchSpec],

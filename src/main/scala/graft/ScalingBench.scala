@@ -19,7 +19,9 @@ object ScalingBench {
   private case class Run(cores: Int, buildSec: Double, filesPerSec: Double,
                          p50: Double, p95: Double, qps: Double,
                          fusedQps: Double, branchQps: Double, countsQps: Double,
-                         fusedAnchor: Seq[Long], countsAnchor: Seq[Long])
+                         addonQps: Double,
+                         fusedAnchor: Seq[Long], countsAnchor: Seq[Long],
+                         addonAnchor: Seq[Long])
 
   /** best-of-`trials` build + concurrent-query throughput at one
     * parallelism level. Multiple trials damp noisy-neighbor variance in
@@ -132,16 +134,40 @@ object ScalingBench {
       // constant-shuffle path has a scaling reading too
       Bench.queryBatchCountsFresh(searcher) // warm
       val countsQps = adhocPhase("bcounts", () => { Bench.queryBatchCountsFresh(searcher); () })
+      // ordered-scan serving family (Addon / AddonRange / Facet slots):
+      // these run over the alt-order layout's OWN shared scan, a dataflow
+      // the phases above never touch — give it its own scaling reading.
+      // One alt index per level (the build-scaling claim is the primary
+      // build phase's; this build is reported, not claimed on): the same
+      // corpus with a deterministic scrambled addon column.
+      val altDir = java.nio.file.Files.createTempDirectory(s"scaleA$cores").toString
+      allDirs += altDir
+      val corpusA = {
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        corpus.withColumn("d", pmod(xxhash64(col("doc_id")), lit(100000L)))
+      }
+      val ta0 = System.nanoTime()
+      IndexBuilder.build(spark, corpusA, "doc_id", "content", altDir,
+        IndexBuilder.Params(nShards = nShards, tokenizer = "code",
+          attach = Some("d"), altOrder = true))
+      System.err.println(
+        f"[scaling] cores=$cores alt-index build ${(System.nanoTime() - ta0) / 1e9}%.1fs")
+      val altSearcher = new Searcher(spark, altDir)
+      Bench.queryBatchAddonFresh(altSearcher) // warm
+      val addonQps = adhocPhase("baddon", () => { Bench.queryBatchAddonFresh(altSearcher); () })
       // determinism anchors: per-slot result/count values on this corpus —
       // asserted identical across parallelism levels (and against recorded
       // constants for the canonical 800k corpus in main), so every scaling
       // run doubles as a correctness run
       val fusedAnchor = Bench.fusedRowCounts(searcher).toSeq
       val countsAnchor = Bench.queryBatchCountsFresh(searcher).toSeq
-      System.err.println(s"[scaling] cores=$cores anchors fused=$fusedAnchor counts=$countsAnchor")
+      val addonAnchor = Bench.specRowCounts(altSearcher, Bench.addonSpecs).toSeq
+      System.err.println(s"[scaling] cores=$cores anchors fused=$fusedAnchor " +
+        s"counts=$countsAnchor addon=$addonAnchor")
       val run = Run(cores, bestBuild, nFiles / bestBuild,
         lat(lat.length / 2), lat(math.min(lat.length - 1, (lat.length * 0.95).toInt)),
-        bestQps, fusedQps, branchQps, countsQps, fusedAnchor, countsAnchor)
+        bestQps, fusedQps, branchQps, countsQps, addonQps,
+        fusedAnchor, countsAnchor, addonAnchor)
       // an 800k index is multi-GB; four trials across two levels filled
       // /tmp mid-run once — trial dirs are disposable, reclaim them here
       allDirs.foreach(d => deleteDir(new java.io.File(d)))
@@ -156,6 +182,7 @@ object ScalingBench {
     */
   val FusedAnchor800k: Seq[Long] = ScalingBenchAnchors.fused800k
   val CountsAnchor800k: Seq[Long] = ScalingBenchAnchors.counts800k
+  val AddonAnchor800k: Seq[Long] = ScalingBenchAnchors.addon800k
 
   private def deleteDir(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteDir)
@@ -175,11 +202,14 @@ object ScalingBench {
     val fusedEff = r32.fusedQps / (4.0 * r8.fusedQps)
     val branchEff = r32.branchQps / (4.0 * r8.branchQps)
     val countsEff = r32.countsQps / (4.0 * r8.countsQps)
+    val addonEff = r32.addonQps / (4.0 * r8.addonQps)
     // ---- correctness anchors ----
     require(r8.fusedAnchor == r32.fusedAnchor,
       s"fused anchor diverged across levels: ${r8.fusedAnchor} vs ${r32.fusedAnchor}")
     require(r8.countsAnchor == r32.countsAnchor,
       s"counts anchor diverged across levels: ${r8.countsAnchor} vs ${r32.countsAnchor}")
+    require(r8.addonAnchor == r32.addonAnchor,
+      s"addon anchor diverged across levels: ${r8.addonAnchor} vs ${r32.addonAnchor}")
     // canonical 800k corpus: pinned expected values (recorded once from a
     // verified run; CorpusGen is deterministic) — any drift is a
     // correctness regression, failing the scaling run itself
@@ -189,6 +219,9 @@ object ScalingBench {
       require(r8.countsAnchor == ScalingBench.CountsAnchor800k,
         s"counts anchor drifted from recorded: ${r8.countsAnchor}")
     }
+    if (nFiles == 800000L && ScalingBench.AddonAnchor800k.nonEmpty)
+      require(r8.addonAnchor == ScalingBench.AddonAnchor800k,
+        s"addon anchor drifted from recorded: ${r8.addonAnchor}")
 
     val md =
       s"""# BENCH — measured numbers (round snapshot)
@@ -246,19 +279,21 @@ object ScalingBench {
          |dispatch shape. PER-BRANCH = six independently planned subtrees
          |unioned (the shape before msearch existed), for comparison.
          |
-         || cores | fused q/s | per-branch q/s | fused counts q/s |
-         ||---|---|---|---|
-         || ${r8.cores}  | ${f"${r8.fusedQps}%.2f"} | ${f"${r8.branchQps}%.2f"} | ${f"${r8.countsQps}%.2f"} |
-         || ${r32.cores} | ${f"${r32.fusedQps}%.2f"} | ${f"${r32.branchQps}%.2f"} | ${f"${r32.countsQps}%.2f"} |
+         || cores | fused q/s | per-branch q/s | fused counts q/s | ordered-scan q/s |
+         ||---|---|---|---|---|
+         || ${r8.cores}  | ${f"${r8.fusedQps}%.2f"} | ${f"${r8.branchQps}%.2f"} | ${f"${r8.countsQps}%.2f"} | ${f"${r8.addonQps}%.2f"} |
+         || ${r32.cores} | ${f"${r32.fusedQps}%.2f"} | ${f"${r32.branchQps}%.2f"} | ${f"${r32.countsQps}%.2f"} | ${f"${r32.addonQps}%.2f"} |
          |
          |**Ad-hoc query throughput scaling efficiency (N → 4N): fused
          |${f"$fusedEff%.3f"}, per-branch ${f"$branchEff%.3f"}, fused counts
-         |${f"$countsEff%.3f"}**
+         |${f"$countsEff%.3f"}, ordered-scan (addon/range/facet over the
+         |alt layout) ${f"$addonEff%.3f"}**
          |(target ≥ 0.8 per BASELINE.json north rule)
          |
          |Correctness anchors (asserted identical at both levels${if (nFiles == 800000L && ScalingBench.FusedAnchor800k.nonEmpty) " AND equal to the recorded 800k constants" else ""}):
          |fused per-slot rows = ${r8.fusedAnchor.mkString("[", ", ", "]")},
-         |counts = ${r8.countsAnchor.mkString("[", ", ", "]")}.
+         |counts = ${r8.countsAnchor.mkString("[", ", ", "]")},
+         |ordered-scan per-slot rows = ${r8.addonAnchor.mkString("[", ", ", "]")}.
          |
          |## Method / host calibration
          |

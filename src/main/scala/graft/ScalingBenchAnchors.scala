@@ -15,4 +15,10 @@ object ScalingBenchAnchors {
   /** match counts per Bench.countSpecs slot */
   val counts800k: Seq[Long] =
     Seq(358327L, 748563L, 296257L, 761347L, 751734L, 563277L)
+  /** result rows per Bench.addonSpecs slot (ordered-scan family: two
+    * addon top-10s, two addon ranges, two facet histograms) — empty until
+    * recorded from the first verified 800k run of the phase; the
+    * cross-level assertion still applies meanwhile.
+    */
+  val addon800k: Seq[Long] = Seq.empty
 }

@@ -318,6 +318,8 @@ object SparkEntry {
       IndexCache.searcherS(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count())
     safely("searcherT")(
       IndexCache.searcherT(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count())
+    safely("searcherF")(
+      IndexCache.searcherF(s, dir).topKAddon("zzzgraftwarm", 0L, "both", 1).count())
     safely("searcherM") {
       val m = IndexCache.searcherM(s, dir)
       m.countMulti(Seq("text" -> "zzzgraftwarm"))
