@@ -16,9 +16,11 @@ object ScalingBenchAnchors {
   val counts800k: Seq[Long] =
     Seq(358327L, 748563L, 296257L, 761347L, 751734L, 563277L)
   /** result rows per Bench.addonSpecs slot (ordered-scan family: two
-    * addon top-10s, two addon ranges, two facet histograms) — empty until
-    * recorded from the first verified 800k run of the phase; the
-    * cross-level assertion still applies meanwhile.
+    * addon top-10s, two addon ranges, two facet histograms) — recorded
+    * from the first verified 800k run of the phase
+    * (BENCH/BASELINE_run_2to8_9.md) and asserted identical at both its
+    * parallelism levels.
     */
-  val addon800k: Seq[Long] = Seq.empty
+  val addon800k: Seq[Long] =
+    Seq(10L, 149852L, 20L, 10L, 10L, 112761L)
 }

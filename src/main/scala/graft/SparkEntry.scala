@@ -757,6 +757,27 @@ object SparkEntry {
         .select(col("bucket").as("day_us"), col("cnt"))
         .orderBy("day_us")
     }),
+    "ft_facet_float" -> ((s, dir) => {
+      // facet histogram in float VALUE units (f = n_chars/7.0): width-20
+      // buckets over [0, 200], bucket math in IEEE double arithmetic so
+      // the SQL oracle reproduces buckets bit-for-bit
+      IndexCache.searcherF(s, dir)
+        .countByAddonBucketFloat("merge & window", 20.0, 0.0, 200.0)
+        .orderBy("bucket")
+    }),
+    "ft_msearch_empty" -> ((s, dir) => {
+      // INCLUDE_EMPTY inside a fused batch: CountEmpty/MatchEmpty slots
+      // push the reserved placeholder key down the shared scan next to an
+      // ordinary count slot (searcherS nulls text for n_chars % 7 == 0)
+      import graft.search.Searcher.MsearchSpec._
+      IndexCache.searcherS(s, dir).msearch(Seq(
+          CountEmpty(None),
+          Count("merge & window"),
+          MatchEmpty(None)))
+        .select(col("qi"), col("docId").as("key"),
+          col("score").cast("long").as("val"))
+        .orderBy("qi", "key")
+    }),
     "ft_addon_float" -> ((s, dir) => {
       // WHERE merge & window ORDER BY f <=> 85.5 LIMIT 10 in float VALUE
       // units (f = n_chars/7.0, indexed as order-preserving IEEE bits);
@@ -1785,6 +1806,27 @@ object SparkEntry {
         |WHERE list_contains(regexp_extract_all(lower(props), '[a-z0-9]+'), '69')
         |  AND epoch_us(ts) BETWEEN 1704067200000000 AND 1706745599999999
         |GROUP BY 1 ORDER BY day_us""".stripMargin,
+    "ft_facet_float" -> (ToksCte +
+      """SELECT 0.0 + floor((d.n_chars/7.0 - 0.0) / 20.0) * 20.0 AS bucket,
+        |  count(*) AS cnt
+        |FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
+        |  AND d.n_chars/7.0 BETWEEN 0.0 AND 200.0
+        |GROUP BY 1 ORDER BY bucket""".stripMargin),
+    "ft_msearch_empty" -> (ToksCte +
+      """, mw AS (SELECT d.doc_id FROM documents d
+        |    WHERE d.n_chars % 7 <> 0
+        |      AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |      AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')),
+        |emp AS (SELECT doc_id FROM documents WHERE n_chars % 7 = 0)
+        |SELECT 0 AS qi, (SELECT count(*) FROM emp) AS key,
+        |    (SELECT count(*) FROM emp) AS val
+        |UNION ALL
+        |SELECT 1, (SELECT count(*) FROM mw), (SELECT count(*) FROM mw)
+        |UNION ALL
+        |SELECT 2, doc_id, CAST(0 AS BIGINT) FROM emp
+        |ORDER BY qi, key""".stripMargin),
     "ft_addon_float" -> (ToksCte +
       """SELECT d.doc_id, d.n_chars/7.0 AS f,
         |  abs(d.n_chars/7.0 - 85.5) AS dist

@@ -567,6 +567,78 @@ final class Searcher(spark: SparkSession, indexDir: String,
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
   }
 
+  /** [[countByAddonBucket]] in float VALUE units over a
+    * [[graft.build.AddonUnits.floatOrderedBits]]-encoded attach: matches
+    * with value in [lo, hi] count into buckets
+    * lo + floor((v-lo)/width)·width, computed in IEEE double arithmetic
+    * (deterministic and engine-identical, so a SQL oracle reproduces the
+    * buckets bit-for-bit). Bounds must be finite; NaN addons never
+    * participate (their bit image sits above +Inf's, outside the encoded
+    * bound), and a -0.0 bucket start normalizes to +0.0 on both paths.
+    * Returns (bucket: double, cnt: long).
+    */
+  def countByAddonBucketFloat(queryStr: String, width: Double, lo: Double,
+                              hi: Double): DataFrame =
+    cached("facetAF" + Searcher.key(queryStr,
+        java.lang.Double.doubleToLongBits(width).toString,
+        java.lang.Double.doubleToLongBits(lo).toString,
+        java.lang.Double.doubleToLongBits(hi).toString)) {
+      countByAddonBucketFloatC(compile(queryStr), width, lo, hi)
+    }
+
+  private def countByAddonBucketFloatC(cq: CompiledQuery, width: Double,
+                                       lo: Double, hi: Double): DataFrame = {
+    require(width > 0 && !width.isInfinite && !width.isNaN,
+      s"facet width must be positive finite: $width")
+    require(!lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite &&
+      lo <= hi, s"facet range must be finite and ordered: [$lo, $hi]")
+    // bucket index k must stay exactly representable as both Long and
+    // Double for the two engines' floor paths to agree bit-for-bit
+    require((hi - lo) / width < 1e15, s"too many buckets: [$lo, $hi] / $width")
+    val loBits = graft.build.AddonUnits.floatOrderedBits(lo)
+    val hiBits = graft.build.AddonUnits.floatOrderedBits(hi)
+    if (SearchKernel.isVoid(cq))
+      spark.range(0).select(col("id").cast("double").as("bucket"),
+        col("id").as("cnt"))
+    else if (altServes(cq)) {
+      val keys = SearchKernel.keySpecs(cq)
+      val (w, l) = (width, lo)
+      // value-ordered bounded stream → buckets close at their boundary,
+      // ≤ one partial row per (shard, non-empty bucket)
+      altPostings.where(termPredicate(cq))
+        .groupByKey(_.shard)
+        .flatMapGroups((shard: Int, it: Iterator[PostingRow]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          var curB = 0.0
+          var n = 0L
+          AltKernel.rangeAddonShard(cq, keys, it, loBits, hiBits).foreach {
+            case (_, bits) =>
+              val v = graft.build.AddonUnits.floatFromOrderedBits(bits)
+              val b = l + math.floor((v - l) / w) * w + 0.0 // -0.0 → +0.0
+              if (n > 0 && b != curB) { out += ((curB, n)); n = 0L }
+              curB = b
+              n += 1
+          }
+          if (n > 0) out += ((curB, n))
+          out.iterator
+        })
+        .toDF("bucket", "partial")
+        .groupBy("bucket").agg(sum("partial").as("cnt"))
+    } else {
+      val decode = udf((bits: Long) =>
+        graft.build.AddonUnits.floatFromOrderedBits(bits))
+      val v = decode(col("addon"))
+      // Spark floor(double) yields Long; the product k·width is IEEE-equal
+      // to the kernel's math.floor path while k < 2^53 (guarded above)
+      val bucket = lit(lo) + floor((v - lit(lo)) / lit(width)) * lit(width) +
+        lit(0.0)
+      matchingWithAddonC(cq)
+        .where(col("addon") >= loBits && col("addon") <= hiBits)
+        .groupBy(bucket.as("bucket"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    }
+  }
+
   /** Ranked search: WHERE t @@ q ORDER BY t <=> q LIMIT k — the
     * rum.sql golden shape; distance = cover-density (CoverRank), ties by
     * docId ascending (reference tie-break on TID, src/rumsort.c:4003-4021).
@@ -956,6 +1028,10 @@ final class Searcher(spark: SparkSession, indexDir: String,
         case Facet(q, w, lo, hi) => addFacet(qi, compile(q), w, lo, hi)
         case FacetFields(fq, w, lo, hi) =>
           addFacet(qi, compileMulti(fq), w, lo, hi)
+        // the placeholder key is an ordinary key to the kernel: these
+        // slots ride the shared scan like any single-term query
+        case MatchEmpty(f) => addMatch(qi, emptyCompiled(f))
+        case CountEmpty(f) => addCount(qi, emptyCompiled(f))
       }
     }
 
@@ -1158,17 +1234,28 @@ final class Searcher(spark: SparkSession, indexDir: String,
     * single-term match. On a multi-column index pass the field whose
     * emptiness is being asked about.
     */
+  private def emptyKeyRaw(field: Option[String]): String = field match {
+    case Some(f) =>
+      require(meta.fields.split(",").contains(f),
+        s"unknown field '$f' (have ${meta.fields})")
+      graft.build.IndexBuilder.fieldKey(f, graft.build.IndexBuilder.EmptyToken)
+    case None =>
+      require(meta.fields.isEmpty,
+        s"multi-column index (fields=${meta.fields}): pass the field")
+      graft.build.IndexBuilder.EmptyToken
+  }
+
+  /** The placeholder key as a compiled single-leaf query: to the kernel
+    * it is an ordinary pushed-down key (its rows carry an empty position
+    * payload, which decodes to a present-but-empty position list), so
+    * Match/Count slots over it ride fused batches like any other query —
+    * INCLUDE_EMPTY inside the serving batch (src/rumscan.c:144-151).
+    */
+  private def emptyCompiled(field: Option[String]): CompiledQuery =
+    compileTree(TsQuery.Lexeme(emptyKeyRaw(field)))
+
   def matchingEmpty(field: Option[String] = None): DataFrame = {
-    val raw = field match {
-      case Some(f) =>
-        require(meta.fields.split(",").contains(f),
-          s"unknown field '$f' (have ${meta.fields})")
-        graft.build.IndexBuilder.fieldKey(f, graft.build.IndexBuilder.EmptyToken)
-      case None =>
-        require(meta.fields.isEmpty,
-          s"multi-column index (fields=${meta.fields}): pass the field")
-        graft.build.IndexBuilder.EmptyToken
-    }
+    val raw = emptyKeyRaw(field)
     cached("matchEmpty" + Searcher.key(raw)) {
       postings.where(col("term") === keyOf(raw))
         .flatMap { row =>
@@ -1322,6 +1409,14 @@ object Searcher {
     /** multicolumn [[Facet]]: one tsquery per field, ANDed */
     final case class FacetFields(fieldQueries: Seq[(String, String)],
         width: Long, lo: Long, hi: Long) extends MsearchSpec
+    /** docIds whose indexed value is empty/NULL, riding the fused batch —
+      * INCLUDE_EMPTY inside the serving batch (the reserved placeholder
+      * key is an ordinary pushed-down key to the kernel,
+      * src/rumscan.c:144-151). Pass the field on a multicolumn index.
+      */
+    final case class MatchEmpty(field: Option[String] = None) extends MsearchSpec
+    /** count of empty/NULL values as a per-shard-partial [[Count]] slot */
+    final case class CountEmpty(field: Option[String] = None) extends MsearchSpec
   }
 
   private[search] def requireFacet(width: Long, lo: Long, hi: Long): Unit = {
@@ -1420,6 +1515,8 @@ object Searcher {
       case FacetFields(fq, w, lo, hi) =>
         key(Seq("FAF", w.toString, lo.toString, hi.toString) ++
           fq.flatMap(p => Seq(p._1, p._2)): _*)
+      case MatchEmpty(f) => key("ME", f.getOrElse(""))
+      case CountEmpty(f) => key("KE", f.getOrElse(""))
     }) + "\u0002"
   }
 

@@ -108,9 +108,11 @@ class AddonUnitsSpec extends AnyFunSuite {
     assert(rows(sP.topKAddon("every & half", c, "both", 8)) == brute(8))
   }
 
-  test("end-to-end float VALUE-space ordered scan (alt + fallback), NaN last") {
+  // float fixture shared by the ordered-scan and facet tests: value ties
+  // (i*7919 % 100 collides), signed values, ±0.0, ±Inf, NaN — indexed as
+  // order-preserving IEEE bits; (docs, alt searcher, plain searcher)
+  private lazy val floatFixture: (Seq[(Long, String, Double)], Searcher, Searcher) = {
     import org.apache.spark.sql.functions.col
-    // value ties (i*7919 % 100 collides), signed values, ±0.0, ±Inf, NaN
     val specials = Map(14 -> Double.NaN, 26 -> Double.PositiveInfinity,
       34 -> Double.NegativeInfinity, 46 -> -0.0, 58 -> 0.0)
     val docs = (0 until 400).map { i =>
@@ -125,8 +127,11 @@ class AddonUnitsSpec extends AnyFunSuite {
       IndexBuilder.Params(nShards = 2, attach = Some("fbits"), altOrder = true))
     IndexBuilder.build(spark, df, "doc_id", "text", dP,
       IndexBuilder.Params(nShards = 2, attach = Some("fbits")))
-    val sA = new Searcher(spark, dA)
-    val sP = new Searcher(spark, dP)
+    (docs, new Searcher(spark, dA), new Searcher(spark, dP))
+  }
+
+  test("end-to-end float VALUE-space ordered scan (alt + fallback), NaN last") {
+    val (docs, sA, sP) = floatFixture
     val matches = docs.filter(t => t._1 % 2 == 0) // "every & half"
     val c = 3.25
     // brute oracle ranks on the SAME bit image the engine uses (exact
@@ -169,5 +174,54 @@ class AddonUnitsSpec extends AnyFunSuite {
     val expR = matches.filter(t => !t._3.isNaN && t._3 >= -5.0 && t._3 <= 2.5)
       .map(t => (t._1, t._3)).toSet
     assert(gotR == expR && expR.nonEmpty)
+  }
+
+  test("float VALUE-space facet buckets: alt == fallback == brute force") {
+    val (docs, sA, sP) = floatFixture
+    val matches = docs.filter(t => t._1 % 2 == 0) // "every & half"
+    def got(s: Searcher, q: String, w: Double, lo: Double, hi: Double) =
+      s.countByAddonBucketFloat(q, w, lo, hi).orderBy("bucket").collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    def brute(vals: Seq[Double], w: Double, lo: Double, hi: Double) = {
+      val loB = AddonUnits.floatOrderedBits(lo)
+      val hiB = AddonUnits.floatOrderedBits(hi)
+      vals.filter { v =>
+          val b = AddonUnits.floatOrderedBits(v); b >= loB && b <= hiB
+        }
+        .groupBy(v => lo + math.floor((v - lo) / w) * w + 0.0)
+        .map { case (b, xs) => (b, xs.size.toLong) }.toSeq.sortBy(_._1)
+    }
+    // unaligned lo and a width that doesn't divide the span
+    for (q <- Seq("every & half", "every & !half")) {
+      val vals = (if (q == "every & half") matches
+                  else docs.filterNot(t => t._1 % 2 == 0)).map(_._3)
+      val b = brute(vals, 3.5, -11.25, 12.0)
+      assert(got(sA, q, 3.5, -11.25, 12.0) == b, q)
+      assert(got(sP, q, 3.5, -11.25, 12.0) == b, q)
+      assert(b.nonEmpty)
+    }
+    // bits-space bounds pin the ±0.0 edge: with lo = +0.0 the -0.0 doc
+    // (id 46) is EXCLUDED, the +0.0 doc (id 58) counts in bucket 0.0
+    val z = got(sA, "every & half", 1.0, 0.0, 2.0)
+    val zVals = matches.map(_._3).filter(v =>
+      !v.isNaN && AddonUnits.floatOrderedBits(v) >= AddonUnits.floatOrderedBits(0.0) &&
+        v <= 2.0)
+    assert(z == got(sP, "every & half", 1.0, 0.0, 2.0))
+    assert(z.find(_._1 == 0.0).map(_._2).contains(
+      zVals.count(v => v >= 0.0 && v < 1.0).toLong))
+    // NaN and ±Inf never land in any finite-bounded bucket
+    val all = got(sA, "every & half", 1e3, -1e6, 1e6)
+    assert(all.map(_._2).sum ==
+      matches.map(_._3).count(v => !v.isNaN && !v.isInfinite))
+    // invalid params fail fast
+    intercept[IllegalArgumentException] {
+      sA.countByAddonBucketFloat("every", 0.0, 0.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      sA.countByAddonBucketFloat("every", 1.0, Double.NaN, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      sA.countByAddonBucketFloat("every", 1.0, 0.0, Double.PositiveInfinity)
+    }
   }
 }

@@ -56,6 +56,37 @@ class NullHandlingSpec extends AnyFunSuite {
     assert(s.matchingDocs("!beta").collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
   }
 
+  test("MatchEmpty/CountEmpty slots ride fused batches (incl. multicolumn)") {
+    import Searcher.MsearchSpec._
+    val dir = tmp()
+    val docs = Seq(
+      (1L, "alpha beta", 10L),
+      (2L, null.asInstanceOf[String], 20L),
+      (3L, "", 30L),
+      (4L, "beta", 40L))
+    IndexBuilder.build(spark, docs.toDF("id", "t", "w"), "id", "t", dir,
+      IndexBuilder.Params(nShards = 2, attach = Some("w")))
+    val s = new Searcher(spark, dir)
+    val got = s.msearch(Seq(CountEmpty(None), Match("beta"), MatchEmpty(None)))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(got(0).map(t => (t._2, t._3)).toSeq == Seq((2L, 2.0))) // count via spine
+    assert(got(1).map(_._2).toSet == Set(1L, 4L))
+    assert(got(2).map(_._2).toSet == Set(2L, 3L))
+    // multicolumn: field-scoped empty slots
+    val dirM = tmp()
+    IndexBuilder.buildFields(spark,
+      Seq((1L, "alpha", "en"), (2L, "", "de"), (3L, "beta", null.asInstanceOf[String]))
+        .toDF("id", "a", "b"),
+      "id", Seq("fa" -> "a", "fb" -> "b"), dirM, IndexBuilder.Params(nShards = 2))
+    val sM = new Searcher(spark, dirM)
+    val gotM = sM.msearch(Seq(MatchEmpty(Some("fa")), CountEmpty(Some("fb"))))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+    assert(gotM(0).map(_._2).toSet == Set(2L))
+    assert(gotM(1).map(_._2).toSeq == Seq(1L))
+    intercept[IllegalArgumentException](sM.msearch(Seq(MatchEmpty(None))))
+  }
+
   test("placeholder survives append, delete and compact") {
     val dir = tmp()
     val docs = Seq((1L, "alpha", 1L), (2L, "", 2L))
