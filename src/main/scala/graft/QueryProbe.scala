@@ -126,6 +126,31 @@ object QueryProbe {
       time(s"full fused batch t$t") {
         Bench.queryBatchFused(searcher)
       }
+    // ordered-scan (alt-layout) batch — the same planning-vs-execution
+    // decomposition for the addon/range/facet family. The alt index lives
+    // beside the primary probe index and is built once (same corpus + the
+    // ScalingBench addon column), then probed at every level.
+    val altDir = dir + "_alt"
+    if (graft.build.SegmentCatalog.load(altDir).isEmpty) {
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val n = sys.env.getOrElse("PROBE_FILES", "800000").toLong
+      val corpus = graft.sources.CorpusGen.withDocId(
+        graft.sources.CorpusGen.generate(spark, n, cores * 2))
+        .withColumn("d", pmod(xxhash64(col("doc_id")), lit(100000L)))
+      graft.build.IndexBuilder.build(spark, corpus, "doc_id", "content", altDir,
+        graft.build.IndexBuilder.Params(nShards = 32, tokenizer = "code",
+          attach = Some("d"), altOrder = true))
+    }
+    val altSearcher = new Searcher(spark, altDir)
+    Bench.queryBatchAddonFresh(altSearcher) // warm footers + stats memo
+    for (t <- 1 to 3)
+      time(s"plan-only ordered-scan batch t$t") {
+        Bench.queryBatchFusedN(altSearcher, Bench.addonSpecs, planOnly = true); ()
+      }
+    for (t <- 1 to 3)
+      time(s"full ordered-scan batch t$t") {
+        Bench.queryBatchAddonFresh(altSearcher); ()
+      }
     spark.stop()
   }
 }

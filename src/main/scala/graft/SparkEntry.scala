@@ -765,6 +765,19 @@ object SparkEntry {
         .countByAddonBucketFloat("merge & window", 20.0, 0.0, 200.0)
         .orderBy("bucket")
     }),
+    "ft_msearch_facetf" -> ((s, dir) => {
+      // fused float VALUE-units facet slots (conjunctive + union-driven
+      // OR) share one alt scan; slot rows carry the bucket start's raw
+      // IEEE bits in docId — decoded here for the oracle compare
+      import graft.search.Searcher.MsearchSpec._
+      val dec = udf((b: Long) => java.lang.Double.longBitsToDouble(b))
+      IndexCache.searcherF(s, dir).msearch(Seq(
+          FacetFloat("merge & window", 20.0, 0.0, 200.0),
+          FacetFloat("merge | window", 50.0, 0.0, 250.0)))
+        .select(col("qi"), dec(col("docId")).as("bucket"),
+          col("score").cast("long").as("cnt"))
+        .orderBy("qi", "bucket")
+    }),
     "ft_msearch_empty" -> ((s, dir) => {
       // INCLUDE_EMPTY inside a fused batch: CountEmpty/MatchEmpty slots
       // push the reserved placeholder key down the shared scan next to an
@@ -1814,6 +1827,19 @@ object SparkEntry {
         |  AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')
         |  AND d.n_chars/7.0 BETWEEN 0.0 AND 200.0
         |GROUP BY 1 ORDER BY bucket""".stripMargin),
+    "ft_msearch_facetf" -> (ToksCte +
+      """, mw AS (SELECT d.doc_id, d.n_chars/7.0 AS f FROM documents d
+        |    WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |      AND d.doc_id IN (SELECT doc_id FROM toks WHERE term='window')),
+        |morw AS (SELECT d.doc_id, d.n_chars/7.0 AS f FROM documents d
+        |    WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term='merge')
+        |       OR d.doc_id IN (SELECT doc_id FROM toks WHERE term='window'))
+        |SELECT 0 AS qi, floor(f/20.0)*20.0 AS bucket, count(*) AS cnt
+        |  FROM mw WHERE f BETWEEN 0.0 AND 200.0 GROUP BY 2
+        |UNION ALL
+        |SELECT 1, floor(f/50.0)*50.0, count(*)
+        |  FROM morw WHERE f BETWEEN 0.0 AND 250.0 GROUP BY 2
+        |ORDER BY qi, bucket""".stripMargin),
     "ft_msearch_empty" -> (ToksCte +
       """, mw AS (SELECT d.doc_id FROM documents d
         |    WHERE d.n_chars % 7 <> 0

@@ -547,4 +547,30 @@ object AltKernel extends Serializable {
     if (n > 0) out += ((curB, n))
     out.iterator
   }
+
+  /** [[facetShard]] in float VALUE units over an ordered-bits layout:
+    * buckets are lo + floor((v-lo)/width)·width in IEEE double arithmetic
+    * (-0.0 starts normalize to +0.0); each emitted bucket is the start's
+    * RAW IEEE bit image so the partial rows stay (Long, Long) like every
+    * other fused row. Bit order = value order, so the stream still closes
+    * each bucket at its boundary.
+    */
+  def facetShardFloat(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
+                      shardCells: ShardCells, width: Double, lo: Double,
+                      loBits: Long, hiBits: Long): Iterator[(Long, Long)] = {
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    var curB = 0L
+    var n = 0L
+    rangeAddonShard(cq, keys, shardCells, loBits, hiBits).foreach {
+      case (_, bits) =>
+        val v = graft.build.AddonUnits.floatFromOrderedBits(bits)
+        val b = java.lang.Double.doubleToRawLongBits(
+          lo + math.floor((v - lo) / width) * width + 0.0)
+        if (n > 0 && b != curB) { out += ((curB, n)); n = 0L }
+        curB = b
+        n += 1
+    }
+    if (n > 0) out += ((curB, n))
+    out.iterator
+  }
 }

@@ -588,13 +588,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
 
   private def countByAddonBucketFloatC(cq: CompiledQuery, width: Double,
                                        lo: Double, hi: Double): DataFrame = {
-    require(width > 0 && !width.isInfinite && !width.isNaN,
-      s"facet width must be positive finite: $width")
-    require(!lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite &&
-      lo <= hi, s"facet range must be finite and ordered: [$lo, $hi]")
-    // bucket index k must stay exactly representable as both Long and
-    // Double for the two engines' floor paths to agree bit-for-bit
-    require((hi - lo) / width < 1e15, s"too many buckets: [$lo, $hi] / $width")
+    Searcher.requireFacetFloat(width, lo, hi)
     val loBits = graft.build.AddonUnits.floatOrderedBits(lo)
     val hiBits = graft.build.AddonUnits.floatOrderedBits(hi)
     if (SearchKernel.isVoid(cq))
@@ -603,27 +597,18 @@ final class Searcher(spark: SparkSession, indexDir: String,
     else if (altServes(cq)) {
       val keys = SearchKernel.keySpecs(cq)
       val (w, l) = (width, lo)
+      val decodeBits = udf((bits: Long) => java.lang.Double.longBitsToDouble(bits))
       // value-ordered bounded stream → buckets close at their boundary,
-      // ≤ one partial row per (shard, non-empty bucket)
+      // ≤ one partial row per (shard, non-empty bucket); partials carry
+      // the bucket start's raw bit image, decoded after the final sum
       altPostings.where(termPredicate(cq))
         .groupByKey(_.shard)
-        .flatMapGroups((shard: Int, it: Iterator[PostingRow]) => {
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-          var curB = 0.0
-          var n = 0L
-          AltKernel.rangeAddonShard(cq, keys, it, loBits, hiBits).foreach {
-            case (_, bits) =>
-              val v = graft.build.AddonUnits.floatFromOrderedBits(bits)
-              val b = l + math.floor((v - l) / w) * w + 0.0 // -0.0 → +0.0
-              if (n > 0 && b != curB) { out += ((curB, n)); n = 0L }
-              curB = b
-              n += 1
-          }
-          if (n > 0) out += ((curB, n))
-          out.iterator
-        })
-        .toDF("bucket", "partial")
-        .groupBy("bucket").agg(sum("partial").as("cnt"))
+        .flatMapGroups((shard: Int, it: Iterator[PostingRow]) =>
+          AltKernel.facetShardFloat(cq, keys, new AltKernel.ShardCells(it),
+            w, l, loBits, hiBits))
+        .toDF("bits", "partial")
+        .groupBy("bits").agg(sum("partial").as("cnt"))
+        .select(decodeBits(col("bits")).as("bucket"), col("cnt"))
     } else {
       val decode = udf((bits: Long) =>
         graft.build.AddonUnits.floatFromOrderedBits(bits))
@@ -980,6 +965,22 @@ final class Searcher(spark: SparkSession, indexDir: String,
           .select(lit(qi).as("qi"), col("bucket").as("docId"),
             col("cnt").cast("double").as("score"))
     }
+    def addFacetFloat(qi: Int, cq: CompiledQuery, w: Double, lo: Double,
+                      hi: Double): Unit = {
+      Searcher.requireFacetFloat(w, lo, hi)
+      if (SearchKernel.isVoid(cq)) ()
+      else if (altServes(cq)) // c slot carries the width's ordered bits
+        altFused += Searcher.AltFusedSpec(qi, 2, cq, SearchKernel.keySpecs(cq),
+          graft.build.AddonUnits.floatOrderedBits(w), "", 0,
+          graft.build.AddonUnits.floatOrderedBits(lo),
+          graft.build.AddonUnits.floatOrderedBits(hi), floatUnits = true)
+      else {
+        val bitsOf = udf((v: Double) => java.lang.Double.doubleToRawLongBits(v))
+        fallback += countByAddonBucketFloatC(cq, w, lo, hi)
+          .select(lit(qi).as("qi"), bitsOf(col("bucket")).as("docId"),
+            col("cnt").cast("double").as("score"))
+      }
+    }
     def addBm25(qi: Int, keys: Seq[String], k: Int): Unit = {
       val distinct = keys.distinct
       val stats = statsFor(distinct)
@@ -1028,6 +1029,7 @@ final class Searcher(spark: SparkSession, indexDir: String,
         case Facet(q, w, lo, hi) => addFacet(qi, compile(q), w, lo, hi)
         case FacetFields(fq, w, lo, hi) =>
           addFacet(qi, compileMulti(fq), w, lo, hi)
+        case FacetFloat(q, w, lo, hi) => addFacetFloat(qi, compile(q), w, lo, hi)
         // the placeholder key is an ordinary key to the kernel: these
         // slots ride the shared scan like any single-term query
         case MatchEmpty(f) => addMatch(qi, emptyCompiled(f))
@@ -1148,8 +1150,16 @@ final class Searcher(spark: SparkSession, indexDir: String,
               else if (f.mode == 1)
                 AltKernel.rangeAddonShard(f.cq, f.keys, cells, f.lo, f.hi)
                   .map { case (d, _) => (f.qi, d, 0L) }
-              else // mode 2: per-shard facet partials (c = bucket width)
+              // mode 2: per-shard facet partials (c = bucket width; float
+              // slots bucket in VALUE space and emit the start's bit image)
+              else if (!f.floatUnits)
                 AltKernel.facetShard(f.cq, f.keys, cells, f.c, f.lo, f.hi)
+                  .map { case (b, n) => (f.qi, b, n) }
+              else
+                AltKernel.facetShardFloat(f.cq, f.keys, cells,
+                    graft.build.AddonUnits.floatFromOrderedBits(f.c),
+                    graft.build.AddonUnits.floatFromOrderedBits(f.lo),
+                    f.lo, f.hi)
                   .map { case (b, n) => (f.qi, b, n) }
             }
           }.toDF("qi", "docId", "dist")
@@ -1409,6 +1419,16 @@ object Searcher {
     /** multicolumn [[Facet]]: one tsquery per field, ANDed */
     final case class FacetFields(fieldQueries: Seq[(String, String)],
         width: Long, lo: Long, hi: Long) extends MsearchSpec
+    /** [[Facet]] in float VALUE units over a
+      * [[graft.build.AddonUnits.floatOrderedBits]]-encoded attach (the
+      * fused twin of [[Searcher.countByAddonBucketFloat]]): result rows
+      * are (qi, docId = the bucket start's RAW IEEE bits — decode with
+      * `java.lang.Double.longBitsToDouble` — , score = count). Rides the
+      * batch's shared alt scan; alt-unservable queries aggregate their
+      * solo fallback plan with the same bit-image bucket column.
+      */
+    final case class FacetFloat(query: String, width: Double, lo: Double,
+        hi: Double) extends MsearchSpec
     /** docIds whose indexed value is empty/NULL, riding the fused batch —
       * INCLUDE_EMPTY inside the serving batch (the reserved placeholder
       * key is an ordinary pushed-down key to the kernel,
@@ -1423,6 +1443,17 @@ object Searcher {
     require(width > 0, s"facet width must be positive: $width")
     require(lo <= hi && hi - lo >= 0, // hi-lo < 0 means the span overflowed
       s"facet range invalid (or span overflows Long): [$lo, $hi]")
+  }
+
+  private[search] def requireFacetFloat(width: Double, lo: Double,
+                                        hi: Double): Unit = {
+    require(width > 0 && !width.isInfinite && !width.isNaN,
+      s"facet width must be positive finite: $width")
+    require(!lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite &&
+      lo <= hi, s"facet range must be finite and ordered: [$lo, $hi]")
+    // bucket index k must stay exactly representable as both Long and
+    // Double for the two engines' floor paths to agree bit-for-bit
+    require((hi - lo) / width < 1e15, s"too many buckets: [$lo, $hi] / $width")
   }
 
   /** Bucket start for an addon known to sit in [lo, hi]: lo +
@@ -1515,6 +1546,10 @@ object Searcher {
       case FacetFields(fq, w, lo, hi) =>
         key(Seq("FAF", w.toString, lo.toString, hi.toString) ++
           fq.flatMap(p => Seq(p._1, p._2)): _*)
+      case FacetFloat(q, w, lo, hi) =>
+        key("FAD", q, java.lang.Double.doubleToRawLongBits(w).toString,
+          java.lang.Double.doubleToRawLongBits(lo).toString,
+          java.lang.Double.doubleToRawLongBits(hi).toString)
       case MatchEmpty(f) => key("ME", f.getOrElse(""))
       case CountEmpty(f) => key("KE", f.getOrElse(""))
     }) + "\u0002"

@@ -323,6 +323,34 @@ class MsearchFusedSpec extends AnyFunSuite {
     assert(got(0).forall(t => t._3 >= 0.0 && !t._3.isNaN))
   }
 
+  test("FacetFloat slots: value-space bucket partials equal solo float facets") {
+    import Searcher.MsearchSpec._
+    val specs = Seq(
+      FacetFloat("even & triple", 62.5, -300.0, 300.0),
+      AddonFloat("even & triple", 3.75, "both", 5),   // shares the alt scan
+      FacetFloat("even | rare7", 125.0, -400.0, 0.0), // OR: union-driven slot
+      FacetFloat("!even", 100.0, -400.0, 400.0))      // full-scan: fallback
+    val got = floatSearcher.msearch(specs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    def solo(q: String, w: Double, lo: Double, hi: Double): Set[(Double, Double)] =
+      floatSearcher.countByAddonBucketFloat(q, w, lo, hi).collect()
+        .map(r => (r.getDouble(0), r.getLong(1).toDouble)).toSet
+    def decoded(qi: Int): Set[(Double, Double)] =
+      got(qi).map(t => (java.lang.Double.longBitsToDouble(t._2), t._3)).toSet
+    assert(decoded(0) == solo("even & triple", 62.5, -300.0, 300.0))
+    assert(decoded(0).nonEmpty)
+    assert(decoded(2) == solo("even | rare7", 125.0, -400.0, 0.0))
+    assert(decoded(3) == solo("!even", 100.0, -400.0, 400.0))
+    assert(decoded(3).nonEmpty)
+    // NaN docs (i % 501 == 0) never count: totals reconcile with the
+    // finite in-range match count (sum over the row SEQ — a set would
+    // collapse equal-count buckets)
+    val inRange = floatSearcher.rangeAddonFloat("even & triple", -300.0, 300.0)
+      .count()
+    assert(got(0).map(_._3.toLong).sum == inRange)
+  }
+
   test("Order2 slots (rank, addon, docId composite) equal solo topKMulti") {
     import Searcher.{MsearchSpec, OrderKey}
     import MsearchSpec._
