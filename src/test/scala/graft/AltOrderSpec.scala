@@ -123,6 +123,13 @@ class AltOrderSpec extends AnyFunSuite {
     }
     // range that intersects no matches: zero buckets (GROUP BY semantics)
     assert(altIdx.countByAddonBucket("sparse", 10L, 99991L, 99999L).count() == 0)
+    // plan shape: term predicate pushed to the alt postings scan, no docs
+    // corpus scan anywhere — the facet is index-served
+    val facetDf = altIdx.countByAddonBucket("every & half", 700L, 505L, 9005L)
+    facetDf.collect()
+    val plan = facetDf.queryExecution.executedPlan.toString
+    assert(plan.contains("postings_alt"), plan.take(2000))
+    assert(!plan.contains("/docs"), plan.take(2000))
     // invalid facet params fail fast
     intercept[IllegalArgumentException] {
       altIdx.countByAddonBucket("sparse", 0L, 0L, 100L)
