@@ -139,6 +139,26 @@ class AltOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("facet bucket sweep: widths from 1 to beyond-span agree with brute force") {
+    // sweep bucket geometries (width 1 = per-value counts; width beyond
+    // the span = one bucket; unaligned lo; huge lo near the data's edge)
+    val q = "every"
+    val all = plainIdx.rangeAddon(q, Long.MinValue + 1, Long.MaxValue)
+      .collect().map(_.getLong(1))
+    for ((w, lo, hi) <- Seq(
+        (1L, 0L, 13330L), (3L, 17L, 9999L), (10000L, 0L, 20000L),
+        (1000000L, 0L, 1000000L), (7L, 13000L, 13330L))) {
+      val brute = all.filter(a => a >= lo && a <= hi)
+        .groupBy(a => lo + (a - lo) / w * w)
+        .map { case (b, xs) => (b, xs.length.toLong) }.toSeq.sortBy(_._1)
+      def got(ix: Searcher) = ix.countByAddonBucket(q, w, lo, hi)
+        .orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got(altIdx) == brute, s"w=$w lo=$lo hi=$hi (alt)")
+      assert(got(plainIdx) == brute, s"w=$w lo=$lo hi=$hi (plain)")
+    }
+  }
+
   test("alt range scan equals filter over all matches") {
     val a = altIdx.rangeAddon("every & half", 5000L, 9000L)
       .orderBy("docId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
