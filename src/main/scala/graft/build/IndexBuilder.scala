@@ -295,6 +295,20 @@ object IndexBuilder {
         col("e.tf").as("tf"), col("e.len").as("len"), col("e.pos").as("pos"), col("addon"))
   }
 
+  /** Docs table derived from exploded posting tuples — equivalent to the
+    * per-doc count/uniq tokenize pass by construction: every entry of a doc
+    * carries the doc's total token count (`len`) and addon; `uniq`
+    * (distinct-lexeme count, the tsvector size UNIQ norms divide by) is the
+    * number of real-term entries, since the tokenizer emits exactly one
+    * entry per distinct raw term and the empty-doc placeholder entry is the
+    * only one with tf = 0.
+    */
+  private def docsFromExploded(exploded: DataFrame): DataFrame =
+    exploded.groupBy("shard", "docId")
+      .agg(max("len").as("len"), max("addon").as("addon"),
+        sum(when(col("tf") > 0, 1L).otherwise(0L)).cast("int").as("uniq"))
+      .select("shard", "docId", "len", "addon", "uniq")
+
   /** pack posting tuples into canonical chunk rows — two stages:
     *
     *   A. narrow per-input-partition external sort (Spark's
@@ -618,24 +632,33 @@ object IndexBuilder {
 
     val packAcc = newPackAcc(spark)
     if (remaining.nonEmpty) {
-      val exploded = explodedOf(todo, params)
-      packDataset(spark, exploded, params, packAcc = Some(packAcc))
-        .write.mode("append").partitionBy("shard")
-        .parquet(SegmentCatalog.postingsDir(indexDir))
-
-      if (params.altOrder)
-        packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
+      // tokenize ONCE: the exploded posting tuples are materialized and all
+      // downstream consumers (primary pack, alt-order pack, docs table) read
+      // the materialized copy instead of re-running corpus read + tokenizer
+      // per pass — at scale this is the ingest pipeline's "write the
+      // tokenized table once" materialization (spills to disk under memory
+      // pressure via the default MEMORY_AND_DISK level)
+      val exploded = explodedOf(todo, params).persist()
+      try {
+        packDataset(spark, exploded, params, packAcc = Some(packAcc))
           .write.mode("append").partitionBy("shard")
-          .parquet(SegmentCatalog.altDir(indexDir))
+          .parquet(SegmentCatalog.postingsDir(indexDir))
 
-      // docs table: a second narrow pass (count-only, allocation-free
-      // tokenize) — no shuffle; trades a little CPU for zero extra I/O
-      val cntUdf = udf(tokenCountFn(params.tokenizer))
-      val uniqUdf = udf(uniqueCountFn(params.tokenizer))
-      todo.select(col("shard"), col("docId"), cntUdf(col("text")).as("len"),
-          col("addon"), uniqUdf(col("text")).as("uniq"))
-        .write.mode("append").partitionBy("shard")
-        .parquet(SegmentCatalog.docsDir(indexDir))
+        if (params.altOrder)
+          packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
+            .write.mode("append").partitionBy("shard")
+            .parquet(SegmentCatalog.altDir(indexDir))
+
+        // docs table: derived from the exploded tuples by a tiny aggregation
+        // (map-side partial agg collapses each doc's consecutive entries, so
+        // the shuffle is ~one row per doc) instead of a second full corpus
+        // read + count-tokenize pass — len rides on every entry, uniq = the
+        // number of real-term entries (the tokenizer emits one entry per
+        // distinct term; the empty-doc placeholder entry has tf = 0)
+        docsFromExploded(exploded)
+          .write.mode("append").partitionBy("shard")
+          .parquet(SegmentCatalog.docsDir(indexDir))
+      } finally exploded.unpersist(blocking = false)
     }
 
     val buildMs = System.currentTimeMillis() - t0
@@ -678,31 +701,41 @@ object IndexBuilder {
     deleteRecursively(SegmentCatalog.docsDir(indexDir))
     deleteRecursively(SegmentCatalog.statsDir(indexDir))
 
-    val exploded = fields.map { case (fname, colName) =>
+    // tokenize each field ONCE (persisted): primary pack, alt pack and the
+    // docs table all read the materialized tuples — without this an
+    // alt-order multicolumn build tokenizes every field three times. The
+    // `fi` field tag exists only for the docs aggregation below; the pack
+    // stages project exactly their own columns, so it never reaches a sort
+    // or the shuffle.
+    val exploded = fields.zipWithIndex.map { case ((fname, colName), fi) =>
       explodedOf(normalize(corpus, docIdCol, colName, params), params,
-        keyPrefix = fname + FieldSep)
-    }.reduce(_ unionAll _)
+        keyPrefix = fname + FieldSep).withColumn("fi", lit(fi))
+    }.reduce(_ unionAll _).persist()
     val packAcc = newPackAcc(spark)
-    packDataset(spark, exploded, params, packAcc = Some(packAcc))
-      .write.mode("append").partitionBy("shard")
-      .parquet(SegmentCatalog.postingsDir(indexDir))
-    if (params.altOrder)
-      packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
+    try {
+      packDataset(spark, exploded, params, packAcc = Some(packAcc))
         .write.mode("append").partitionBy("shard")
-        .parquet(SegmentCatalog.altDir(indexDir))
+        .parquet(SegmentCatalog.postingsDir(indexDir))
+      if (params.altOrder)
+        packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
+          .write.mode("append").partitionBy("shard")
+          .parquet(SegmentCatalog.altDir(indexDir))
 
-    val cntUdf = udf(tokenCountFn(params.tokenizer))
-    val addonCol = addonColOf(params.attach, col(docIdCol).cast("long"))
-    val uniqUdf = udf(uniqueCountFn(params.tokenizer))
-    val lenExpr = fields.map { case (_, c) => cntUdf(col(c)) }.reduce(_ + _)
-    // uniq summed per field: a term in two fields is two distinct keys
-    val uniqExpr = fields.map { case (_, c) => uniqUdf(col(c)) }.reduce(_ + _)
-    corpus.select(docIdColOf(docIdCol), lenExpr.as("len"), addonCol,
-        uniqExpr.as("uniq"))
-      .withColumn("shard", pmod(xxhash64(col("docId")), lit(params.nShards)).cast("int"))
-      .select("shard", "docId", "len", "addon", "uniq")
-      .write.mode("append").partitionBy("shard")
-      .parquet(SegmentCatalog.docsDir(indexDir))
+      // docs table from the exploded tuples: every entry carries its FIELD's
+      // token count in `len`, so per-doc totals aggregate in two levels —
+      // max(len) per (doc, field), then sum over fields. uniq likewise:
+      // a term in two fields is two distinct keys, so per-field real-term
+      // entry counts sum by construction (placeholder entries have tf = 0).
+      exploded.groupBy(col("shard"), col("docId"), col("fi"))
+        .agg(max("len").as("flen"), max("addon").as("addon"),
+          sum(when(col("tf") > 0, 1L).otherwise(0L)).as("funiq"))
+        .groupBy(col("shard"), col("docId"))
+        .agg(sum("flen").cast("int").as("len"), max("addon").as("addon"),
+          sum("funiq").cast("int").as("uniq"))
+        .select("shard", "docId", "len", "addon", "uniq")
+        .write.mode("append").partitionBy("shard")
+        .parquet(SegmentCatalog.docsDir(indexDir))
+    } finally exploded.unpersist(blocking = false)
 
     val buildMs = System.currentTimeMillis() - t0
     val lineage = s"multicol(${fields.map(_._1).mkString(",")})"
@@ -803,15 +836,20 @@ object IndexBuilder {
     val (docsDisk, docsCommitted) = before("docs")
 
     val packAcc = newPackAcc(spark)
-    packDataset(spark, exploded, params, packAcc = Some(packAcc))
-      .write.mode("append").partitionBy("shard")
-      .parquet(SegmentCatalog.postingsDir(indexDir))
-    if (params.altOrder)
-      packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
+    // micro-batch tuples are tokenized once and shared by both layout packs
+    // (appends on alt-order indexes would otherwise tokenize twice)
+    val shared = if (params.altOrder) exploded.persist() else exploded
+    try {
+      packDataset(spark, shared, params, packAcc = Some(packAcc))
         .write.mode("append").partitionBy("shard")
-        .parquet(SegmentCatalog.altDir(indexDir))
-    docsDF.write.mode("append").partitionBy("shard")
-      .parquet(SegmentCatalog.docsDir(indexDir))
+        .parquet(SegmentCatalog.postingsDir(indexDir))
+      if (params.altOrder)
+        packDataset(spark, shared, params, alt = true, packAcc = Some(packAcc))
+          .write.mode("append").partitionBy("shard")
+          .parquet(SegmentCatalog.altDir(indexDir))
+      docsDF.write.mode("append").partitionBy("shard")
+        .parquet(SegmentCatalog.docsDir(indexDir))
+    } finally if (params.altOrder) shared.unpersist(blocking = false)
 
     val dataFiles = Map(
       "postings" -> (postCommitted ++
@@ -1024,10 +1062,14 @@ object IndexBuilder {
       }.toDF("shard", "term", "docId", "tf", "len", "pos", "addon")
 
     val excludeIds = exclude.map(df => df.select(col(df.columns.head).cast("long").as("docId")))
-    val kept = excludeIds match {
+    val kept0 = excludeIds match {
       case Some(ids) => decoded.join(ids, Seq("docId"), "left_anti")
       case None => decoded
     }
+    // alt-order compacts consume the decoded stream twice (one pack per
+    // layout): materialize the decode once instead of re-reading + re-
+    // decoding the whole old generation for the second pack
+    val kept = if (params.altOrder) kept0.persist() else kept0
 
     val packAcc = newPackAcc(spark)
     // new generation is APPENDED next to the old files (unique part names);
@@ -1053,6 +1095,7 @@ object IndexBuilder {
       .write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.docsDir(indexDir))
 
+    if (params.altOrder) kept.unpersist(blocking = false)
     val newFiles: Map[String, List[String]] = kinds.map(k =>
       k -> listParquet(datasetDir(indexDir, k)).filterNot(before(k))).toMap
 

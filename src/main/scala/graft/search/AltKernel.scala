@@ -136,101 +136,169 @@ object AltKernel extends Serializable {
         }
       })
 
-    private def merged(rs: mutable.ArrayBuffer[PostingRow]): Array[PostingBlock] = {
-      val sorted = rs.sortBy(r => (r.blocks.head.firstDoc, r.chunk))
-      // single ascending run (the compacted/bulk-built layout): concatenate
-      val singleRun = sorted.sliding(2).forall {
-        case mutable.ArrayBuffer(a, b) => b.blocks.head.firstDoc > a.blocks.last.lastDoc
-        case _ => true
-      }
-      if (singleRun) sorted.flatMap(_.blocks).toArray
-      else {
-        // overlapping runs → full merge-sort by (addon, docId), repack
-        val all = mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Array[Byte])]
-        sorted.foreach { r =>
-          r.blocks.foreach { b =>
-            val d = PostingBlocks.decode(b)
-            var j = 0
-            while (j < d.n) {
-              all += ((d.keys(j), d.subs(j), d.tfs(j), d.lens(j), d.rawPositionsAt(j)))
-              j += 1
-            }
-          }
-        }
-        val sortedAll = all.sortBy(t => (t._1, t._2))
-        val builder = new PostingListBuilder(allowTies = true)
-        var lastK = Long.MinValue
-        var lastS = Long.MinValue
-        sortedAll.foreach { case (k, s, tf, len, pos) =>
-          if (k != lastK || s != lastS) { // dedup keep-first
-            builder.add(k, tf, len, pos, s)
-            lastK = k; lastS = s
-          }
-        }
-        builder.result()
-      }
-    }
-    /** Prefix expansion: union ALL matching terms' entries; equal
-      * (addon, docId) composites merge their payloads — tf sums, position
-      * lists interleave — exactly the primary path's UnionCursor semantics
-      * (rum_ts_join_pos, src/rum_ts_utils.c:1564-1645).
+    /** Group chunk rows into maximal strictly-ascending runs in
+      * (firstDoc, chunk) order — each run is an internally (addon, docId)-
+      * sorted stream; overlapping micro-segments land in separate runs.
+      * Run index order = arrival order, which keep-first dedup relies on.
       */
-    private def mergedUnion(rs: Seq[PostingRow]): Array[PostingBlock] = {
-      val all = mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Array[Byte], String)]
-      rs.foreach { r =>
-        r.blocks.foreach { b =>
-          val d = PostingBlocks.decode(b)
-          var j = 0
-          while (j < d.n) {
-            all += ((d.keys(j), d.subs(j), d.tfs(j), d.lens(j), d.rawPositionsAt(j), r.term))
-            j += 1
-          }
-        }
+    private def runsOf(rs: Seq[PostingRow]): Array[Array[PostingRow]] = {
+      val sorted = rs.sortBy(r => (r.blocks.head.firstDoc, r.chunk))
+      val runs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[PostingRow]]
+      sorted.foreach { r =>
+        if (runs.nonEmpty &&
+            r.blocks.head.firstDoc > runs.last.last.blocks.last.lastDoc)
+          runs.last += r
+        else runs += mutable.ArrayBuffer(r)
       }
-      // sort includes the source term so a tie run groups each expansion
-      // term's replays (overlapping micro-segments re-ship the same entry)
-      // adjacently: dedup keep-first per term BEFORE summing tf, matching
-      // merged()'s keep-first — otherwise tf inflates on appended indexes
-      val sorted = all.sortBy(t => (t._1, t._2, t._6))
+      runs.map(_.toArray).toArray
+    }
+
+    private def merged(rs: mutable.ArrayBuffer[PostingRow]): Array[PostingBlock] = {
+      val runs = runsOf(rs.toSeq)
+      // single ascending run (the compacted/bulk-built layout): concatenate
+      if (runs.length == 1) return runs(0).flatMap(_.blocks)
+      // overlapping runs → STREAMING k-way merge of run cursors into the
+      // repack builder: O(runs) decoded blocks live at a time instead of
+      // every posting of every run materialized and sorted (a skewed hot
+      // term between compactions would otherwise hold millions of decoded
+      // tuples on one task). Ties keep the LOWEST run index — run order is
+      // (firstDoc, chunk) arrival order, reproducing the old stable-sort
+      // keep-first dedup.
+      val cursors = runs.map(new RunCur(_))
       val builder = new PostingListBuilder(allowTies = true)
-      var i = 0
-      while (i < sorted.length) {
-        var j = i + 1
-        while (j < sorted.length && sorted(j)._1 == sorted(i)._1 &&
-               sorted(j)._2 == sorted(i)._2) j += 1
-        if (j == i + 1) {
-          val (k, s, tf, len, pos, _) = sorted(i)
-          builder.add(k, tf, len, pos, s)
-        } else {
-          // union the tie run: sum tf over DISTINCT terms, merge their
-          // (pos, wclass) streams (same-term replays skipped keep-first)
-          var tf = 0
-          val merged = mutable.ArrayBuffer.empty[(Int, Byte)]
-          var m = i
-          var lastTerm: String = null
-          while (m < j) {
-            if (sorted(m)._6 != lastTerm) {
-              lastTerm = sorted(m)._6
-              tf += sorted(m)._3
-              val (ps, ws) = graft.core.PositionCodec.decode(sorted(m)._5)
-              var x = 0
-              while (x < ps.length) { merged += ((ps(x), ws(x))); x += 1 }
-            }
-            m += 1
-          }
-          val byPos = merged.sortBy(_._1)
-          // dedup equal positions (same term re-inserted across runs)
-          val dp = mutable.ArrayBuffer.empty[(Int, Byte)]
-          byPos.foreach { pw => if (dp.isEmpty || dp.last._1 != pw._1) dp += pw }
-          builder.add(sorted(i)._1, tf, sorted(i)._4,
-            graft.core.PositionCodec.encode(dp.map(_._1).toArray, dp.map(_._2).toArray),
-            sorted(i)._2)
+      var hasLast = false
+      var lastK = Long.MinValue
+      var lastS = Long.MinValue
+      var live = cursors.count(!_.done)
+      while (live > 0) {
+        var best = -1
+        var i = 0
+        while (i < cursors.length) {
+          val c = cursors(i)
+          if (!c.done && (best < 0 || c.key < cursors(best).key ||
+              (c.key == cursors(best).key && c.sub < cursors(best).sub)))
+            best = i
+          i += 1
         }
-        i = j
+        val c = cursors(best)
+        if (!(hasLast && c.key == lastK && c.sub == lastS)) {
+          builder.add(c.key, c.tf, c.len, c.rawPos, c.sub)
+          hasLast = true; lastK = c.key; lastS = c.sub
+        }
+        c.step()
+        if (c.done) live -= 1
       }
       builder.result()
     }
 
+    /** Prefix expansion: union ALL matching terms' entries; equal
+      * (addon, docId) composites merge their payloads — tf sums, position
+      * lists interleave — exactly the primary path's UnionCursor semantics
+      * (rum_ts_join_pos, src/rum_ts_utils.c:1564-1645). Streaming k-way
+      * merge over per-(term, run) cursors ordered by (term, run): at a tie
+      * composite the first cursor of each term wins (keep-first per term —
+      * overlapping micro-segments re-ship the same entry and must not
+      * inflate tf), and terms contribute in ascending-term order exactly
+      * like the old (key, sub, term) sort.
+      */
+    private def mergedUnion(rs: Seq[PostingRow]): Array[PostingBlock] = {
+      val byT = rs.groupBy(_.term).toSeq.sortBy(_._1)
+      val cursors = mutable.ArrayBuffer.empty[RunCur]
+      val termIdx = mutable.ArrayBuffer.empty[Int]
+      byT.zipWithIndex.foreach { case ((_, rows), ti) =>
+        runsOf(rows).foreach { run =>
+          cursors += new RunCur(run)
+          termIdx += ti
+        }
+      }
+      val builder = new PostingListBuilder(allowTies = true)
+      val at = mutable.ArrayBuffer.empty[Int]
+      var live = cursors.count(!_.done)
+      while (live > 0) {
+        var k = 0L
+        var s = 0L
+        var first = true
+        var i = 0
+        while (i < cursors.length) {
+          val c = cursors(i)
+          if (!c.done && (first || c.key < k || (c.key == k && c.sub < s))) {
+            k = c.key; s = c.sub; first = false
+          }
+          i += 1
+        }
+        at.clear()
+        i = 0
+        while (i < cursors.length) {
+          if (!cursors(i).done && cursors(i).key == k && cursors(i).sub == s)
+            at += i
+          i += 1
+        }
+        if (at.length == 1) {
+          val c = cursors(at(0))
+          builder.add(k, c.tf, c.len, c.rawPos, s)
+        } else {
+          // union the tie composite: sum tf over DISTINCT terms (first run
+          // of each term wins), merge their (pos, wclass) streams
+          var tf = 0
+          var len = 0
+          var haveLen = false
+          val mergedPos = mutable.ArrayBuffer.empty[(Int, Byte)]
+          var lastTi = -1
+          at.foreach { ci =>
+            val ti = termIdx(ci)
+            if (ti != lastTi) {
+              lastTi = ti
+              val c = cursors(ci)
+              if (!haveLen) { len = c.len; haveLen = true }
+              tf += c.tf
+              val (ps, ws) = graft.core.PositionCodec.decode(c.rawPos)
+              var x = 0
+              while (x < ps.length) { mergedPos += ((ps(x), ws(x))); x += 1 }
+            }
+          }
+          val byPos = mergedPos.sortBy(_._1)
+          // dedup equal positions (same term re-inserted across runs)
+          val dp = mutable.ArrayBuffer.empty[(Int, Byte)]
+          byPos.foreach { pw => if (dp.isEmpty || dp.last._1 != pw._1) dp += pw }
+          builder.add(k, tf, len,
+            graft.core.PositionCodec.encode(dp.map(_._1).toArray, dp.map(_._2).toArray),
+            s)
+        }
+        at.foreach { ci =>
+          val c = cursors(ci)
+          c.step()
+          if (c.done) live -= 1
+        }
+      }
+      builder.result()
+    }
+
+  }
+
+  /** Forward-only streaming cursor over one ascending run's chunk rows —
+    * decodes ONE block at a time (the bounded-memory unit of the ShardCells
+    * repack merge).
+    */
+  private final class RunCur(rows: Array[PostingRow]) {
+    private val blocks: Array[PostingBlock] = rows.flatMap(_.blocks)
+    private var bi = 0
+    private var dec: PostingBlocks.Decoded = _
+    private var i = 0
+    var done: Boolean = blocks.isEmpty
+    if (!done) load()
+    private def load(): Unit = { dec = PostingBlocks.decode(blocks(bi)); i = 0 }
+    def key: Long = dec.keys(i)
+    def sub: Long = dec.subs(i)
+    def tf: Int = dec.tfs(i)
+    def len: Int = dec.lens(i)
+    def rawPos: Array[Byte] = dec.rawPositionsAt(i)
+    def step(): Unit = {
+      i += 1
+      if (i >= dec.n) {
+        bi += 1
+        if (bi >= blocks.length) done = true else load()
+      }
+    }
   }
 
   private def buildCells(keys: Array[SearchKernel.KeySpec],

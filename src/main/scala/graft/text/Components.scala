@@ -38,9 +38,13 @@ object Components {
     // docs get rep = self in one final left join instead of riding every
     // iteration. localCheckpoint truncates lineage each round — without it
     // the logical plan deepens per iteration and analysis blows up.
+    // LAZY localCheckpoint: the convergence aggregate right below is the
+    // materializing action, so checkpoint + rep-sum cost ONE Spark job per
+    // iteration instead of two (the driver dispatch per job is the serial
+    // cost an iterative algorithm pays maxIters times)
     var labels = sym.select(col("src").as("doc")).distinct()
       .withColumn("rep", col("doc"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // convergence by the monotone rep-sum: reps only ever decrease, so the
     // fixpoint is reached exactly when the sum stops changing — one cheap
@@ -69,7 +73,7 @@ object Components {
         .join(repOf, col("rep1") === col("rj"), "left")
         .select(col("doc"),
           least(col("rep1"), coalesce(col("rrep"), col("rep1"))).as("rep"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by repSum's aggregate
       val s = repSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -117,9 +121,10 @@ object Components {
                      maxIters: Int = 50): DataFrame = {
     val e0 = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
+    // lazy checkpoint: the isEmpty probe below materializes it in one job
     var cur = e0.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var converged = cur.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -143,10 +148,15 @@ object Components {
         .where(col("v") =!= col("m"))
         .select(least(col("v"), col("m")).as("u"),
           greatest(col("v"), col("m")).as("v"))
-        .distinct().localCheckpoint(true)
-      // exact fixpoint test: canonical edge sets equal (both directions of
-      // the symmetric difference must be empty)
-      converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+        .distinct().localCheckpoint(false)
+      // exact fixpoint test: canonical edge sets equal, checked as an empty
+      // symmetric difference via ONE full-outer join job (both sides are
+      // distinct sets) — this action also materializes next's lazy
+      // checkpoint, so each round costs one job instead of three
+      converged = next.withColumn("l", lit(1))
+        .join(cur.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
+        .where(col("l").isNull || col("r").isNull)
+        .isEmpty
       cur = next
       iter += 1
     }

@@ -259,6 +259,57 @@ class AltOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("many overlapping appends on a hot term: streaming run-merge parity") {
+    // 6 micro-segment appends (auto-compaction DISABLED) whose addon ranges
+    // all overlap on the same hot terms — every (key, shard) cell holds 7
+    // overlapping runs, so the ShardCells streaming k-way repack (exact
+    // term AND prefix union) is what serves the queries. Results must equal
+    // the plain-layout sort-all fallback built over the identical corpus.
+    // Memory bound is structural: the merge holds one decoded block per
+    // run (≤ runs × blockSize postings), never the cell's full posting set.
+    def t(i: Int): String = {
+      val sb = new StringBuilder("hot ")
+      if (i % 3 == 0) sb.append("qx1 ")
+      if (i % 4 == 0) sb.append("qx2 ")
+      sb.append(s"tl${i % 3}")
+      sb.toString
+    }
+    // every batch's addons interleave over the same [0, 1000) range
+    def ad(i: Int): Long = ((i * 7919) % 1000).toLong
+    val batches = (0 until 7).map { b =>
+      (b * 200 until (b + 1) * 200).map(i => (i.toLong, t(i), ad(i)))
+        .toDF("doc_id", "text", "d")
+    }
+    val dA = java.nio.file.Files.createTempDirectory("altoverlap").toString
+    val dP = java.nio.file.Files.createTempDirectory("plainoverlap").toString
+    IndexBuilder.build(spark, batches.head, "doc_id", "text", dA,
+      IndexBuilder.Params(nShards = 2, blockSize = 32, attach = Some("d"),
+        altOrder = true))
+    batches.tail.foreach(b =>
+      IndexBuilder.append(spark, b, "doc_id", "text", dA, autoCompactRuns = 0))
+    val all = (0 until 1400).map(i => (i.toLong, t(i), ad(i)))
+    IndexBuilder.build(spark, all.toDF("doc_id", "text", "d"), "doc_id", "text",
+      dP, IndexBuilder.Params(nShards = 2, blockSize = 32, attach = Some("d")))
+    val sA = new Searcher(spark, dA)
+    val sP = new Searcher(spark, dP)
+    // exact-term multi-run merge, prefix multi-run union, disjunctive union
+    for (op <- Seq("both", "left", "right");
+         q <- Seq("hot & qx1", "qx:* & hot", "qx1 | qx2", "qx:* <-> tl0")) {
+      val a = rows(sA.topKAddon(q, 500L, op, 9))
+      val p = rows(sP.topKAddon(q, 500L, op, 9))
+      assert(a == p, s"op=$op q='$q': alt=$a plain=$p")
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("docId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs(sA.rangeAddon("hot & qx1", 100L, 600L)) ==
+      pairs(sP.rangeAddon("hot & qx1", 100L, 600L)))
+    val fA = sA.countByAddonBucket("qx:* & hot", 100L, 0L, 999L)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fP = sP.countByAddonBucket("qx:* & hot", 100L, 0L, 999L)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fA == fP && fA.nonEmpty)
+  }
+
   test("alt layout maintained through append and compact") {
     val docs = (0 until 600).map(i => (i.toLong, text(i), addonOf(i))).toDF("doc_id", "text", "d")
     val more = (600 until 900).map(i => (i.toLong, text(i), addonOf(i % 600) + 5L)).toDF("doc_id", "text", "d")
