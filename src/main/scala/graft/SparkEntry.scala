@@ -119,13 +119,20 @@ object SparkEntry {
     * the file listings/footers so repeated queries re-plan, not re-list.
     */
   private object IndexCache {
+    // numPartitions = 8 on every variant: the build's pack/merge partition
+    // count should track the INPUT size (these sandbox corpora are ≤ a few
+    // thousand docs), not the session's shuffle-partition count sized for
+    // the whole suite — 8 merge tasks write ~8 well-sized files per shard
+    // dir instead of spraying hundreds of KB-sized files that every query
+    // then pays footer reads for. Production builds derive the same knob
+    // from input bytes / target partition size (see IndexBuilder.Params).
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, Searcher]()
     private def of(s: SparkSession, sfDir: String, tokenizer: String,
                    keyKind: String = "text"): Searcher =
       cache.computeIfAbsent(s"$sfDir#$tokenizer#$keyKind", _ => {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
         IndexBuilder.build(s, documents(s, sfDir), "doc_id", "text", dir,
-          IndexBuilder.Params(nShards = 8, tokenizer = tokenizer,
+          IndexBuilder.Params(nShards = 8, numPartitions = 8, tokenizer = tokenizer,
             attach = Some("n_chars"), keyKind = keyKind,
             altOrder = tokenizer == "simple" && keyKind == "text"))
         new Searcher(s, dir)
@@ -153,7 +160,8 @@ object SparkEntry {
             when(pmod(col("n_chars"), lit(7)) === 0, lit(null)).otherwise(col("text")))
           .withColumn("n_signed", col("n_chars") - 600)
         IndexBuilder.build(s, corpus, "doc_id", "text_n", dir,
-          IndexBuilder.Params(nShards = 8, attach = Some("n_signed"), altOrder = true))
+          IndexBuilder.Params(nShards = 8, numPartitions = 8,
+            attach = Some("n_signed"), altOrder = true))
         new Searcher(s, dir)
       })
     /** events variant: docId = event_id, text = props (JSON payload),
@@ -168,7 +176,8 @@ object SparkEntry {
         val ev = s.read.parquet(s"$sfDir/events.parquet")
           .withColumn("ts_us", graft.build.AddonUnits.timestampMicros(col("ts")))
         IndexBuilder.build(s, ev, "event_id", "props", dir,
-          IndexBuilder.Params(nShards = 8, attach = Some("ts_us"), altOrder = true))
+          IndexBuilder.Params(nShards = 8, numPartitions = 8,
+            attach = Some("ts_us"), altOrder = true))
         new Searcher(s, dir)
       })
     /** float-addon variant: attach = order-preserving IEEE bits of
@@ -182,7 +191,8 @@ object SparkEntry {
         val corpus = documents(s, sfDir).withColumn("fbits",
           graft.build.AddonUnits.floatOrderedBits(col("n_chars") / lit(7.0)))
         IndexBuilder.build(s, corpus, "doc_id", "text", dir,
-          IndexBuilder.Params(nShards = 8, attach = Some("fbits"), altOrder = true))
+          IndexBuilder.Params(nShards = 8, numPartitions = 8,
+            attach = Some("fbits"), altOrder = true))
         new Searcher(s, dir)
       })
     def searcherM(s: SparkSession, sfDir: String): Searcher =
@@ -190,7 +200,8 @@ object SparkEntry {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
         IndexBuilder.buildFields(s, documents(s, sfDir), "doc_id",
           Seq("text" -> "text", "lang" -> "lang"), dir,
-          IndexBuilder.Params(nShards = 8, attach = Some("n_chars"), altOrder = true))
+          IndexBuilder.Params(nShards = 8, numPartitions = 8,
+            attach = Some("n_chars"), altOrder = true))
         new Searcher(s, dir)
       })
   }

@@ -303,11 +303,21 @@ object IndexBuilder {
     * entry per distinct raw term and the empty-doc placeholder entry is the
     * only one with tf = 0.
     */
-  private def docsFromExploded(exploded: DataFrame): DataFrame =
-    exploded.groupBy("shard", "docId")
+  private def docsFromExploded(exploded: DataFrame, nShards: Int): DataFrame =
+    shardPure(exploded.groupBy("shard", "docId")
       .agg(max("len").as("len"), max("addon").as("addon"),
         sum(when(col("tf") > 0, 1L).otherwise(0L)).cast("int").as("uniq"))
-      .select("shard", "docId", "len", "addon", "uniq")
+      .select("shard", "docId", "len", "addon", "uniq"), nShards)
+
+  /** Route rows into exactly one partition per shard (preimage table, see
+    * [[hashPreimages]]) so a partitionBy("shard") write emits ONE file per
+    * shard instead of one per (task, shard) pair.
+    */
+  private def shardPure(df: DataFrame, nShards: Int): DataFrame = {
+    val pre = hashPreimages(nShards)
+    df.repartition(nShards,
+      element_at(typedlit(pre.toSeq), col("shard").cast("int") + 1))
+  }
 
   /** pack posting tuples into canonical chunk rows — two stages:
     *
@@ -338,6 +348,33 @@ object IndexBuilder {
     val m = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
     acc.value.forEach(e => m(e._1) += e._2)
     m.map { case (s, ns) => s -> math.max(1L, ns / 1000000L) }.toMap
+  }
+
+  /** Murmur3 preimage table for exact partition routing: preimage(d) is an
+    * int whose Spark hash-partitioning bucket (murmur3 seed 42, pmod n) is
+    * exactly d. Repartitioning on `element_at(preimages, target + 1)` then
+    * routes each logical target to its OWN partition — Spark's DataFrame
+    * API only exposes hash/range partitioning, and hashing the (shard,
+    * term-bucket) pair directly would collide ~1/e of the buckets, spraying
+    * every shard across many tasks (and partitionBy(shard) then writes one
+    * FILE per (task, shard) pair — hundreds of KB-files per build).
+    * Correctness never depends on the table being right: rows with equal
+    * target always share a partition (the routing column is a pure function
+    * of the target); a Spark-internal hash change would only degrade file
+    * count/balance back to hashed behavior.
+    */
+  private[build] def hashPreimages(n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var found = 0
+    val seen = new Array[Boolean](n)
+    var x = 0
+    while (found < n) {
+      val d = Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42), n)
+      if (!seen(d)) { seen(d) = true; out(d) = x; found += 1 }
+      x += 1
+    }
+    out
   }
 
   private def packDataset(spark: SparkSession, exploded: DataFrame,
@@ -412,8 +449,24 @@ object IndexBuilder {
       }
 
     // ---- stage B: shuffle packed runs, merge each (shard, term) cell ----
+    // SHARD-PURE partitioning: target partition = shard·sub + termBucket,
+    // routed exactly via the murmur3 preimage table — every task holds one
+    // (shard, termBucket) slice, so the partitionBy(shard) write emits
+    // exactly nShards·sub well-sized files (instead of one file per
+    // (task, shard) pair), merge parallelism stays ≥ p via the term
+    // sub-bucket when nShards < p, and shards are uniform by construction
+    // (shard = hash(docId)) so the slices balance. The per-partition sort
+    // stays Spark's external sort (memory-bounded spill).
+    val sub = math.max(1, p / params.nShards)
+    val nPart = params.nShards * sub
+    val preimages = hashPreimages(nPart)
+    val target =
+      if (sub == 1) col("shard")
+      else col("shard") * lit(sub) +
+        pmod(xxhash64(col("term")), lit(sub)).cast("int")
+    val pid = element_at(typedlit(preimages.toSeq), target.cast("int") + 1)
     runs
-      .repartition(p, col("shard"), col("term"))
+      .repartition(nPart, pid)
       .sortWithinPartitions("shard", "term", "firstDoc")
       .mapPartitions(it => mergeCells(it, blockSize, maxChunk, alt, packAcc))
   }
@@ -515,20 +568,29 @@ object IndexBuilder {
   /** `shardMs`: real per-shard pack/merge wall ms (from the stage-B
     * accumulator); shards without a measurement fall back to the job wall.
     */
+  /** `postingsDS`/`docsDS`: when the caller just WROTE the full dataset and
+    * still holds it persisted (fresh build / compact), the stats pass
+    * aggregates the in-memory copy instead of re-listing and re-reading the
+    * files it just wrote — the committed listing covers exactly those rows
+    * by construction. Appends pass None (their stats span old + new files).
+    */
   private def refresh(spark: SparkSession, indexDir: String, params: Params,
                       buildMs: Long, lineage: String,
                       lastBatchId: Long = -1L, fields: String = "",
                       dataFiles: Map[String, List[String]] = Map.empty,
                       shardMs: Map[Int, Long] = Map.empty,
                       appendRuns: Int = 0,
-                      keepOld: Boolean = false): IndexMeta = {
+                      keepOld: Boolean = false,
+                      postingsDS: Option[DataFrame] = None,
+                      docsDS: Option[DataFrame] = None): IndexMeta = {
     // top-level ndocs/maxTf columns mean this pass never touches the fat
     // `blocks` column — parquet column pruning keeps the stats refresh a
     // metadata-sized read, not a full index re-read. Explicit schemas keep
     // the zero-file case (buildempty) readable; reads go through the
     // file listing being committed, so orphans never enter the stats.
-    val allPostings = readFiles(spark, SegmentCatalog.postingsDir(indexDir),
-        dataFiles.get("postings"), schemaOf("postings"))
+    val allPostings = postingsDS.getOrElse(
+        readFiles(spark, SegmentCatalog.postingsDir(indexDir),
+          dataFiles.get("postings"), schemaOf("postings")))
       .select("shard", "term", "ndocs", "maxTf")
     val cells = allPostings
       .groupBy("shard", "term")
@@ -555,8 +617,9 @@ object IndexBuilder {
       .toList
     cells.unpersist()
 
-    val allDocs = readFiles(spark, SegmentCatalog.docsDir(indexDir),
-      dataFiles.get("docs"), schemaOf("docs"))
+    val allDocs = docsDS.getOrElse(
+      readFiles(spark, SegmentCatalog.docsDir(indexDir),
+        dataFiles.get("docs"), schemaOf("docs")))
     val r = allDocs.agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
     val (numDocs, totalTokens) = (r.getLong(0), r.getLong(1))
 
@@ -630,24 +693,37 @@ object IndexBuilder {
       }
     }
 
+    // env-gated phase timing (diagnostics only): SPARK_GRAFT_BUILD_PHASES=1
+    // prints per-phase wall seconds to stderr
+    val tPhase = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    def phase(name: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_BUILD_PHASES")) {
+        val now = System.nanoTime()
+        val prev = tPhase.getAndSet(now)
+        System.err.println(f"[build-phase] $name: ${(now - prev) / 1e9}%.3fs")
+      }
     val packAcc = newPackAcc(spark)
-    if (remaining.nonEmpty) {
-      // tokenize ONCE: the exploded posting tuples are materialized and all
-      // downstream consumers (primary pack, alt-order pack, docs table) read
-      // the materialized copy instead of re-running corpus read + tokenizer
-      // per pass — at scale this is the ingest pipeline's "write the
-      // tokenized table once" materialization (spills to disk under memory
-      // pressure via the default MEMORY_AND_DISK level)
-      val exploded = explodedOf(todo, params).persist()
-      try {
+    // tokenize ONCE: the exploded posting tuples are materialized and all
+    // downstream consumers (primary pack, alt-order pack, docs table) read
+    // the materialized copy instead of re-running corpus read + tokenizer
+    // per pass — at scale this is the ingest pipeline's "write the
+    // tokenized table once" materialization (spills to disk under memory
+    // pressure via the default MEMORY_AND_DISK level)
+    var docsOpt: Option[DataFrame] = None
+    val exploded = explodedOf(todo, params).persist()
+    try {
+      if (remaining.nonEmpty) {
+        phase("setup")
         packDataset(spark, exploded, params, packAcc = Some(packAcc))
           .write.mode("append").partitionBy("shard")
           .parquet(SegmentCatalog.postingsDir(indexDir))
+        phase("postings pack+write (incl tokenize into cache)")
 
         if (params.altOrder)
           packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
             .write.mode("append").partitionBy("shard")
             .parquet(SegmentCatalog.altDir(indexDir))
+        phase("alt pack+write")
 
         // docs table: derived from the exploded tuples by a tiny aggregation
         // (map-side partial agg collapses each doc's consecutive entries, so
@@ -655,20 +731,32 @@ object IndexBuilder {
         // read + count-tokenize pass — len rides on every entry, uniq = the
         // number of real-term entries (the tokenizer emits one entry per
         // distinct term; the empty-doc placeholder entry has tf = 0)
-        docsFromExploded(exploded)
-          .write.mode("append").partitionBy("shard")
+        val docsDF = docsFromExploded(exploded, params.nShards).persist()
+        docsOpt = Some(docsDF)
+        docsDF.write.mode("append").partitionBy("shard")
           .parquet(SegmentCatalog.docsDir(indexDir))
-      } finally exploded.unpersist(blocking = false)
-    }
+        phase("docs agg+write")
+      }
 
-    val buildMs = System.currentTimeMillis() - t0
-    val lineage = corpus.queryExecution.logical.toString.linesIterator.take(1).mkString
-    // committed (resumed-over) shards keep their prior per-shard timing
-    val priorMs = prior.map(_.shards.map(s => s.shard -> s.buildMs).toMap)
-      .getOrElse(Map.empty[Int, Long])
-    refresh(spark, indexDir, params, buildMs, lineage,
-      dataFiles = currentListing(indexDir, params),
-      shardMs = priorMs ++ packAccMs(packAcc))
+      val buildMs = System.currentTimeMillis() - t0
+      val lineage = corpus.queryExecution.logical.toString.linesIterator.take(1).mkString
+      // committed (resumed-over) shards keep their prior per-shard timing
+      val priorMs = prior.map(_.shards.map(s => s.shard -> s.buildMs).toMap)
+        .getOrElse(Map.empty[Int, Long])
+      // the in-memory copies stand in for the committed files only when this
+      // build wrote EVERYTHING (fresh build); resumed builds span prior +
+      // new files and read through the listing
+      val fullWrite = committed.isEmpty && remaining.nonEmpty
+      val committedMeta = refresh(spark, indexDir, params, buildMs, lineage,
+        dataFiles = currentListing(indexDir, params),
+        shardMs = priorMs ++ packAccMs(packAcc),
+        docsDS = if (fullWrite) docsOpt else None)
+      phase("refresh (stats+manifest)")
+      committedMeta
+    } finally {
+      exploded.unpersist(blocking = false)
+      docsOpt.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Full on-disk listing — valid when the writer owns the directories
@@ -712,6 +800,7 @@ object IndexBuilder {
         keyPrefix = fname + FieldSep).withColumn("fi", lit(fi))
     }.reduce(_ unionAll _).persist()
     val packAcc = newPackAcc(spark)
+    var docsOpt: Option[DataFrame] = None
     try {
       packDataset(spark, exploded, params, packAcc = Some(packAcc))
         .write.mode("append").partitionBy("shard")
@@ -726,23 +815,29 @@ object IndexBuilder {
       // max(len) per (doc, field), then sum over fields. uniq likewise:
       // a term in two fields is two distinct keys, so per-field real-term
       // entry counts sum by construction (placeholder entries have tf = 0).
-      exploded.groupBy(col("shard"), col("docId"), col("fi"))
+      val docsDF = exploded.groupBy(col("shard"), col("docId"), col("fi"))
         .agg(max("len").as("flen"), max("addon").as("addon"),
           sum(when(col("tf") > 0, 1L).otherwise(0L)).as("funiq"))
         .groupBy(col("shard"), col("docId"))
         .agg(sum("flen").cast("int").as("len"), max("addon").as("addon"),
           sum("funiq").cast("int").as("uniq"))
         .select("shard", "docId", "len", "addon", "uniq")
-        .write.mode("append").partitionBy("shard")
+        .transform(shardPure(_, params.nShards))
+        .persist()
+      docsOpt = Some(docsDF)
+      docsDF.write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.docsDir(indexDir))
-    } finally exploded.unpersist(blocking = false)
 
-    val buildMs = System.currentTimeMillis() - t0
-    val lineage = s"multicol(${fields.map(_._1).mkString(",")})"
-    refresh(spark, indexDir, params, buildMs, lineage,
-      fields = fields.map(_._1).mkString(","),
-      dataFiles = currentListing(indexDir, params),
-      shardMs = packAccMs(packAcc))
+      val buildMs = System.currentTimeMillis() - t0
+      val lineage = s"multicol(${fields.map(_._1).mkString(",")})"
+      refresh(spark, indexDir, params, buildMs, lineage,
+        fields = fields.map(_._1).mkString(","),
+        dataFiles = currentListing(indexDir, params),
+        shardMs = packAccMs(packAcc), docsDS = docsOpt)
+    } finally {
+      exploded.unpersist(blocking = false)
+      docsOpt.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Default auto-compaction threshold: once this many micro-segment
@@ -847,7 +942,7 @@ object IndexBuilder {
         packDataset(spark, shared, params, alt = true, packAcc = Some(packAcc))
           .write.mode("append").partitionBy("shard")
           .parquet(SegmentCatalog.altDir(indexDir))
-      docsDF.write.mode("append").partitionBy("shard")
+      shardPure(docsDF, params.nShards).write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.docsDir(indexDir))
     } finally if (params.altOrder) shared.unpersist(blocking = false)
 
@@ -1087,11 +1182,12 @@ object IndexBuilder {
         .write.mode("append").partitionBy("shard")
         .parquet(SegmentCatalog.altDir(indexDir))
     val docs = readDataset(spark, indexDir, meta, "docs")
-    val keptDocs = excludeIds match {
+    val keptDocs = (excludeIds match {
       case Some(ids) => docs.join(ids, Seq("docId"), "left_anti")
       case None => docs
-    }
-    keptDocs.select("docId", "len", "addon", "uniq", "shard")
+    }).select("shard", "docId", "len", "addon", "uniq").persist()
+    shardPure(keptDocs.select("docId", "len", "addon", "uniq", "shard"),
+        params.nShards)
       .write.mode("append").partitionBy("shard")
       .parquet(SegmentCatalog.docsDir(indexDir))
 
@@ -1099,12 +1195,15 @@ object IndexBuilder {
     val newFiles: Map[String, List[String]] = kinds.map(k =>
       k -> listParquet(datasetDir(indexDir, k)).filterNot(before(k))).toMap
 
-    // COMMIT: manifest lists exactly the new generation (atomic move)
+    // COMMIT: manifest lists exactly the new generation (atomic move); the
+    // docs totals aggregate the still-persisted kept-docs copy
     val buildMs = System.currentTimeMillis() - t0
     val committed = refresh(spark, indexDir, params, buildMs,
       s"compact(exclude=${exclude.isDefined})",
       lastBatchId = meta.lastBatchId, fields = meta.fields,
-      dataFiles = newFiles, shardMs = packAccMs(packAcc), keepOld = retainOld)
+      dataFiles = newFiles, shardMs = packAccMs(packAcc), keepOld = retainOld,
+      docsDS = Some(keptDocs))
+    keptDocs.unpersist(blocking = false)
 
     // only after the commit is durable does the old generation go away
     if (!retainOld)
