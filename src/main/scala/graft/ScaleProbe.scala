@@ -30,7 +30,7 @@ object ScaleProbe {
       while (i < occs.length) { len += occs(i).tf; i += 1 }
       occs.map { o =>
         val (cp, cw) = PositionCodec.cap(o.positions, o.wclasses)
-        graft.build.TermEntry(o.term, o.tf, len, PositionCodec.encode(cp, cw))
+        graft.build.TermEntry(o.term, o.tf, len, PositionCodec.encode(cp, cw), -1)
       }
     }
     val exploded = corpus

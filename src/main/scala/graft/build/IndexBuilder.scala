@@ -50,8 +50,13 @@ final case class DocRow(shard: Int, docId: Long, len: Int, addon: Long, uniq: In
   */
 final case class TermStat(term: String, df: Long, maxTf: Int)
 
-/** Tokenizer UDF output: one element per distinct term of a doc. */
-final case class TermEntry(term: String, tf: Int, len: Int, pos: Array[Byte])
+/** Tokenizer UDF output: one element per distinct term of a doc. `uniq`
+  * carries the doc's distinct-term count on the FIRST entry only (-1 on the
+  * rest) so the docs table derives from the exploded tuples by a narrow
+  * filter instead of a corpus-sized aggregation.
+  */
+final case class TermEntry(term: String, tf: Int, len: Int, pos: Array[Byte],
+                           uniq: Int)
 
 /** Distributed inverted-index build (the CREATE INDEX path,
   * reference: src/ruminsert.c:594-708 rumbuild) plus the maintenance
@@ -276,23 +281,29 @@ object IndexBuilder {
         // so empty-item queries are index-servable (src/rumscan.c:144-151)
         val raw = keyPrefix + EmptyToken
         val key = if (hashKeys) graft.core.HashKeys.hex(raw) else raw
-        Array(TermEntry(key, 0, 0, Array.emptyByteArray))
+        Array(TermEntry(key, 0, 0, Array.emptyByteArray, 0))
       } else {
         var len = 0
         var i = 0
         while (i < occs.length) { len += occs(i).tf; i += 1 }
+        var first = true
         occs.map { o =>
           val raw = keyPrefix + o.term
           val key = if (hashKeys) graft.core.HashKeys.hex(raw) else raw
           val (cp, cw) = PositionCodec.cap(o.positions, o.wclasses)
-          TermEntry(key, o.tf, len, PositionCodec.encode(cp, cw))
+          // distinct-term count stamped on the first entry only: one row
+          // per doc carries the per-doc stats the docs table needs
+          val u = if (first) occs.length else -1
+          first = false
+          TermEntry(key, o.tf, len, PositionCodec.encode(cp, cw), u)
         }
       }
     }
     todo
       .select(col("shard"), col("docId"), col("addon"), explode(tokUdf(col("text"))).as("e"))
       .select(col("shard"), col("e.term").as("term"), col("docId"),
-        col("e.tf").as("tf"), col("e.len").as("len"), col("e.pos").as("pos"), col("addon"))
+        col("e.tf").as("tf"), col("e.len").as("len"), col("e.pos").as("pos"), col("addon"),
+        col("e.uniq").as("uniq"))
   }
 
   /** Docs table derived from exploded posting tuples — equivalent to the
@@ -303,10 +314,12 @@ object IndexBuilder {
     * entry per distinct raw term and the empty-doc placeholder entry is the
     * only one with tf = 0.
     */
+  /** The docs table is the exploded tuples' first-entry rows (uniq >= 0 —
+    * exactly one per doc by construction): a narrow filter + shard-pure
+    * repartition of ndocs rows, no corpus-sized aggregation.
+    */
   private def docsFromExploded(exploded: DataFrame, nShards: Int): DataFrame =
-    shardPure(exploded.groupBy("shard", "docId")
-      .agg(max("len").as("len"), max("addon").as("addon"),
-        sum(when(col("tf") > 0, 1L).otherwise(0L)).cast("int").as("uniq"))
+    shardPure(exploded.where(col("uniq") >= 0)
       .select("shard", "docId", "len", "addon", "uniq"), nShards)
 
   /** Route rows into exactly one partition per shard (preimage table, see
@@ -592,30 +605,28 @@ object IndexBuilder {
         readFiles(spark, SegmentCatalog.postingsDir(indexDir),
           dataFiles.get("postings"), schemaOf("postings")))
       .select("shard", "term", "ndocs", "maxTf")
-    val cells = allPostings
-      .groupBy("shard", "term")
-      .agg(sum("ndocs").as("df"),
-        max("maxTf").as("maxTf"),
-        count(lit(1)).as("rows"))
-      .persist()
     // stats are APPENDED next to the previous generation and only the new
     // files enter the manifest; the old generation is deleted AFTER the
     // manifest commit (below) — a crash in between strands orphans (gc'd
-    // later), never a manifest pointing at deleted files
+    // later), never a manifest pointing at deleted files.
+    // Two direct aggregations over the pruned scan (term-level stats,
+    // per-shard metrics) — the scan reads only header columns of nShards
+    // files, so re-scanning beats materializing a (shard, term) cell table
+    // between them.
     val statsDirPath = SegmentCatalog.statsDir(indexDir)
     val statsBefore = listParquet(statsDirPath)
-    cells.groupBy("term")
-      .agg(sum("df").as("df"), max("maxTf").as("maxTf"))
+    allPostings.groupBy("term")
+      .agg(sum("ndocs").as("df"), max("maxTf").as("maxTf"))
       .write.mode("append").parquet(statsDirPath)
     val statsNew = listParquet(statsDirPath).filterNot(statsBefore.toSet)
     val now = System.currentTimeMillis()
-    val shardsMeta = cells.groupBy("shard")
-      .agg(count(lit(1)).as("terms"), sum("rows").as("rows"), sum("df").as("postings"))
+    val shardsMeta = allPostings.groupBy("shard")
+      .agg(countDistinct("term").as("terms"), count(lit(1)).as("rows"),
+        sum("ndocs").as("postings"))
       .collect()
       .map(r => ShardMeta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         shardMs.getOrElse(r.getInt(0), buildMs), now))
       .toList
-    cells.unpersist()
 
     val allDocs = docsDS.getOrElse(
       readFiles(spark, SegmentCatalog.docsDir(indexDir),
@@ -714,6 +725,11 @@ object IndexBuilder {
     try {
       if (remaining.nonEmpty) {
         phase("setup")
+        // diagnostics only: isolate tokenize+cache-materialization cost
+        if (sys.env.contains("SPARK_GRAFT_BUILD_PHASES")) {
+          exploded.count()
+          phase("tokenize+cache materialization")
+        }
         packDataset(spark, exploded, params, packAcc = Some(packAcc))
           .write.mode("append").partitionBy("shard")
           .parquet(SegmentCatalog.postingsDir(indexDir))
@@ -791,13 +807,10 @@ object IndexBuilder {
 
     // tokenize each field ONCE (persisted): primary pack, alt pack and the
     // docs table all read the materialized tuples — without this an
-    // alt-order multicolumn build tokenizes every field three times. The
-    // `fi` field tag exists only for the docs aggregation below; the pack
-    // stages project exactly their own columns, so it never reaches a sort
-    // or the shuffle.
-    val exploded = fields.zipWithIndex.map { case ((fname, colName), fi) =>
+    // alt-order multicolumn build tokenizes every field three times
+    val exploded = fields.map { case (fname, colName) =>
       explodedOf(normalize(corpus, docIdCol, colName, params), params,
-        keyPrefix = fname + FieldSep).withColumn("fi", lit(fi))
+        keyPrefix = fname + FieldSep)
     }.reduce(_ unionAll _).persist()
     val packAcc = newPackAcc(spark)
     var docsOpt: Option[DataFrame] = None
@@ -810,17 +823,14 @@ object IndexBuilder {
           .write.mode("append").partitionBy("shard")
           .parquet(SegmentCatalog.altDir(indexDir))
 
-      // docs table from the exploded tuples: every entry carries its FIELD's
-      // token count in `len`, so per-doc totals aggregate in two levels —
-      // max(len) per (doc, field), then sum over fields. uniq likewise:
-      // a term in two fields is two distinct keys, so per-field real-term
-      // entry counts sum by construction (placeholder entries have tf = 0).
-      val docsDF = exploded.groupBy(col("shard"), col("docId"), col("fi"))
-        .agg(max("len").as("flen"), max("addon").as("addon"),
-          sum(when(col("tf") > 0, 1L).otherwise(0L)).as("funiq"))
+      // docs table from the tuples' first-entry rows (one per doc PER
+      // FIELD, each carrying its field's len/uniq): summing over fields
+      // gives total tokens and total distinct keys — a term in two fields
+      // is two distinct keys, so the per-field counts sum by construction
+      val docsDF = exploded.where(col("uniq") >= 0)
         .groupBy(col("shard"), col("docId"))
-        .agg(sum("flen").cast("int").as("len"), max("addon").as("addon"),
-          sum("funiq").cast("int").as("uniq"))
+        .agg(sum("len").cast("int").as("len"), max("addon").as("addon"),
+          sum("uniq").cast("int").as("uniq"))
         .select("shard", "docId", "len", "addon", "uniq")
         .transform(shardPure(_, params.nShards))
         .persist()
