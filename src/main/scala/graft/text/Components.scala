@@ -41,9 +41,12 @@ object Components {
     // LAZY localCheckpoint: the convergence aggregate right below is the
     // materializing action, so checkpoint + rep-sum cost ONE Spark job per
     // iteration instead of two (the driver dispatch per job is the serial
-    // cost an iterative algorithm pays maxIters times)
-    var labels = sym.select(col("src").as("doc")).distinct()
-      .withColumn("rep", col("doc"))
+    // cost an iterative algorithm pays maxIters times).
+    // Initial labels already take min(self, neighbors) — the same shuffle
+    // the plain distinct would pay, one loop iteration saved.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("doc"), least(col("src"), col("nmin")).as("rep"))
       .localCheckpoint(false)
 
     // convergence by the monotone rep-sum: reps only ever decrease, so the
