@@ -89,6 +89,25 @@ object SparkEntry {
     })
   }
 
+  /** Per-doc distinct-term arrays (doc_id, ts) — the materialized tsvector
+    * table the anyarray family serves from (both array queries re-derived
+    * it with their own corpus-sized collect_set aggregation).
+    */
+  private def docTermSets(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(s, dir) // resolve outside: no re-entrant computeIfAbsent
+    MatCache.get(s"$dir#termSets",
+      t.groupBy("doc_id").agg(collect_set("term").as("ts")))
+  }
+
+  /** Distinct (doc_id, term) pairs — the boolean posting-pair view of the
+    * token table (document frequency queries group it by term). Shared by
+    * the stopword inventory and TF-IDF's df side.
+    */
+  private def docTermPairs(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(s, dir) // resolve outside: no re-entrant computeIfAbsent
+    MatCache.get(s"$dir#termPairs", t.select("doc_id", "term").distinct())
+  }
+
   /** Once-per-JVM persisted intermediates keyed by (corpus, kind). */
   private object MatCache {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -386,14 +405,16 @@ object SparkEntry {
         shingles(s, dir).count()
         docShingleSets(s, dir).count()
         minhashSigs(s, dir).count()
+        docTermSets(s, dir).count()
+        docTermPairs(s, dir).count()
         grams8(s, dir).count()
         dupGrams8(s, dir).count()
       }),
       "lsh signatures" -> (() => EmbedCache.signatures(s, dir).count()),
       "kmeans centroids" -> (() => { KMeansCache.centroids(s, dir); () }))
-    // 4 jobs in flight: enough to fill task tails on local[32], not enough
+    // 6 jobs in flight: enough to fill task tails on local[32], not enough
     // to thrash executor memory with concurrent index builds
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     try {
       chains.map { case (what, f) =>
         pool.submit(new Runnable { def run(): Unit = safely(what)(f()) })
@@ -937,15 +958,19 @@ object SparkEntry {
         .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b")
     }),
     "dedup_simhash" -> ((s, dir) => {
+      // all 16 bit-planes as aggregate COLUMNS of one groupBy instead of a
+      // ×16 crossJoin explosion: the shuffle carries tf rows, not tf×16
+      // (identical long-sum algebra per plane, so results match bit-for-bit)
       val tf = tokens(s, dir).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .withColumn("h", hash60(col("term")))
-      val bits = s.range(0, 16).select(col("id").cast("int").as("b"))
-      tf.crossJoin(bits)
-        .groupBy("doc_id", "b")
-        .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), col("tf"))
-          .otherwise(-col("tf"))).as("v"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
+      val planes = (0 until 16).map(b =>
+        sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), col("tf"))
+          .otherwise(-col("tf"))).as(s"v$b"))
+      tf.groupBy("doc_id").agg(planes.head, planes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(b =>
+            when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
     }),
     "dedup_jaccard_pairs" -> ((s, dir) => {
@@ -1077,7 +1102,7 @@ object SparkEntry {
       val toks = tokens(s, dir)
       val nDocs = documents(s, dir).count()
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfT = toks.select("doc_id", "term").distinct()
+      val dfT = docTermPairs(s, dir)
         .groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term").asc)
@@ -1093,7 +1118,7 @@ object SparkEntry {
       // (distinct docs containing the term). Ties at the cut break on the
       // term itself so the top-k is deterministic cross-engine; the top-k
       // runs as orderBy+limit → TakeOrderedAndProject per-partition heaps.
-      tokens(s, dir).select("doc_id", "term").distinct()
+      docTermPairs(s, dir)
         .groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term").asc).limit(25)
     }),
@@ -1104,8 +1129,7 @@ object SparkEntry {
       // count + set size (similarity/<=> derivable; ints keep the oracle
       // float-exact), ranked by cosine similarity desc
       val qArr = Seq("merge", "window", "vector")
-      val terms = tokens(s, dir).groupBy("doc_id")
-        .agg(collect_set("term").as("ts"))
+      val terms = docTermSets(s, dir)
       val i = size(array_intersect(col("ts"), typedlit(qArr))).cast("long")
       val nu = size(col("ts")).cast("long")
       // top-20 via orderBy+limit (TakeOrderedAndProject — distributed
@@ -1129,8 +1153,7 @@ object SparkEntry {
       // correctly-rounded IEEE in both engines, so the values agree
       // bit-exactly and the driver's 1e-12 float compare passes.
       val qArr = Seq("merge", "window", "vector")
-      val terms = tokens(s, dir).groupBy("doc_id")
-        .agg(collect_set("term").as("ts"))
+      val terms = docTermSets(s, dir)
       terms.select(col("doc_id"),
           graft.compat.ArrayOps.distance(col("ts"), typedlit(qArr)).as("dist"),
           size(array_intersect(col("ts"), typedlit(qArr))).cast("long").as("i_cnt"),
