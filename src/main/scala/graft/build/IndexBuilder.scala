@@ -332,6 +332,26 @@ object IndexBuilder {
       element_at(typedlit(pre.toSeq), col("shard").cast("int") + 1))
   }
 
+  /** Run independent write jobs concurrently from a small driver pool
+    * (they all consume the same persisted tuple cache; the block manager's
+    * get-or-compute serializes any racing partition materialization, and
+    * Spark's FIFO scheduler back-fills one job's task tail with the next
+    * job's tasks — build wall time becomes the max of the writes, not
+    * their sum). Exceptions propagate to the caller.
+    */
+  private def runConcurrently(jobs: Seq[() => Unit]): Unit = {
+    if (jobs.length <= 1) { jobs.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.length)
+    try {
+      jobs.map(j => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = j()
+      })).foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   /** pack posting tuples into canonical chunk rows — two stages:
     *
     *   A. narrow per-input-partition external sort (Spark's
@@ -730,28 +750,26 @@ object IndexBuilder {
           exploded.count()
           phase("tokenize+cache materialization")
         }
-        packDataset(spark, exploded, params, packAcc = Some(packAcc))
-          .write.mode("append").partitionBy("shard")
-          .parquet(SegmentCatalog.postingsDir(indexDir))
-        phase("postings pack+write (incl tokenize into cache)")
-
-        if (params.altOrder)
-          packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
-            .write.mode("append").partitionBy("shard")
-            .parquet(SegmentCatalog.altDir(indexDir))
-        phase("alt pack+write")
-
-        // docs table: derived from the exploded tuples by a tiny aggregation
-        // (map-side partial agg collapses each doc's consecutive entries, so
-        // the shuffle is ~one row per doc) instead of a second full corpus
-        // read + count-tokenize pass — len rides on every entry, uniq = the
-        // number of real-term entries (the tokenizer emits one entry per
-        // distinct term; the empty-doc placeholder entry has tf = 0)
+        // docs table: the exploded tuples' first-entry rows — no second
+        // corpus read; see docsFromExploded
         val docsDF = docsFromExploded(exploded, params.nShards).persist()
         docsOpt = Some(docsDF)
-        docsDF.write.mode("append").partitionBy("shard")
-          .parquet(SegmentCatalog.docsDir(indexDir))
-        phase("docs agg+write")
+        // the three writes are independent jobs over the shared tuple
+        // cache (different output directories) — run them concurrently so
+        // the build pays max(write), not sum(write)
+        runConcurrently(Seq(
+          () => packDataset(spark, exploded, params, packAcc = Some(packAcc))
+            .write.mode("append").partitionBy("shard")
+            .parquet(SegmentCatalog.postingsDir(indexDir))) ++
+          (if (params.altOrder)
+            Seq(() => packDataset(spark, exploded, params, alt = true,
+                packAcc = Some(packAcc))
+              .write.mode("append").partitionBy("shard")
+              .parquet(SegmentCatalog.altDir(indexDir)))
+          else Nil) ++
+          Seq(() => docsDF.write.mode("append").partitionBy("shard")
+            .parquet(SegmentCatalog.docsDir(indexDir))))
+        phase("layout+docs writes (concurrent)")
       }
 
       val buildMs = System.currentTimeMillis() - t0
@@ -815,14 +833,6 @@ object IndexBuilder {
     val packAcc = newPackAcc(spark)
     var docsOpt: Option[DataFrame] = None
     try {
-      packDataset(spark, exploded, params, packAcc = Some(packAcc))
-        .write.mode("append").partitionBy("shard")
-        .parquet(SegmentCatalog.postingsDir(indexDir))
-      if (params.altOrder)
-        packDataset(spark, exploded, params, alt = true, packAcc = Some(packAcc))
-          .write.mode("append").partitionBy("shard")
-          .parquet(SegmentCatalog.altDir(indexDir))
-
       // docs table from the tuples' first-entry rows (one per doc PER
       // FIELD, each carrying its field's len/uniq): summing over fields
       // gives total tokens and total distinct keys — a term in two fields
@@ -835,8 +845,18 @@ object IndexBuilder {
         .transform(shardPure(_, params.nShards))
         .persist()
       docsOpt = Some(docsDF)
-      docsDF.write.mode("append").partitionBy("shard")
-        .parquet(SegmentCatalog.docsDir(indexDir))
+      runConcurrently(Seq(
+        () => packDataset(spark, exploded, params, packAcc = Some(packAcc))
+          .write.mode("append").partitionBy("shard")
+          .parquet(SegmentCatalog.postingsDir(indexDir))) ++
+        (if (params.altOrder)
+          Seq(() => packDataset(spark, exploded, params, alt = true,
+              packAcc = Some(packAcc))
+            .write.mode("append").partitionBy("shard")
+            .parquet(SegmentCatalog.altDir(indexDir)))
+        else Nil) ++
+        Seq(() => docsDF.write.mode("append").partitionBy("shard")
+          .parquet(SegmentCatalog.docsDir(indexDir))))
 
       val buildMs = System.currentTimeMillis() - t0
       val lineage = s"multicol(${fields.map(_._1).mkString(",")})"
@@ -945,15 +965,18 @@ object IndexBuilder {
     // (appends on alt-order indexes would otherwise tokenize twice)
     val shared = if (params.altOrder) exploded.persist() else exploded
     try {
-      packDataset(spark, shared, params, packAcc = Some(packAcc))
-        .write.mode("append").partitionBy("shard")
-        .parquet(SegmentCatalog.postingsDir(indexDir))
-      if (params.altOrder)
-        packDataset(spark, shared, params, alt = true, packAcc = Some(packAcc))
+      runConcurrently(Seq(
+        () => packDataset(spark, shared, params, packAcc = Some(packAcc))
           .write.mode("append").partitionBy("shard")
-          .parquet(SegmentCatalog.altDir(indexDir))
-      shardPure(docsDF, params.nShards).write.mode("append").partitionBy("shard")
-        .parquet(SegmentCatalog.docsDir(indexDir))
+          .parquet(SegmentCatalog.postingsDir(indexDir))) ++
+        (if (params.altOrder)
+          Seq(() => packDataset(spark, shared, params, alt = true,
+              packAcc = Some(packAcc))
+            .write.mode("append").partitionBy("shard")
+            .parquet(SegmentCatalog.altDir(indexDir)))
+        else Nil) ++
+        Seq(() => shardPure(docsDF, params.nShards).write.mode("append")
+          .partitionBy("shard").parquet(SegmentCatalog.docsDir(indexDir))))
     } finally if (params.altOrder) shared.unpersist(blocking = false)
 
     val dataFiles = Map(
