@@ -601,11 +601,11 @@ object IndexBuilder {
   /** `shardMs`: real per-shard pack/merge wall ms (from the stage-B
     * accumulator); shards without a measurement fall back to the job wall.
     */
-  /** `postingsDS`/`docsDS`: when the caller just WROTE the full dataset and
-    * still holds it persisted (fresh build / compact), the stats pass
-    * aggregates the in-memory copy instead of re-listing and re-reading the
-    * files it just wrote — the committed listing covers exactly those rows
-    * by construction. Appends pass None (their stats span old + new files).
+  /** `docsDS`: when the caller just WROTE the docs dataset and still holds
+    * it persisted (fresh build / compact), the totals aggregate the
+    * in-memory copy instead of re-reading the files it just wrote — the
+    * committed listing covers exactly those rows by construction. Appends
+    * pass None (their totals span old + new files).
     */
   private def refresh(spark: SparkSession, indexDir: String, params: Params,
                       buildMs: Long, lineage: String,
@@ -614,16 +614,14 @@ object IndexBuilder {
                       shardMs: Map[Int, Long] = Map.empty,
                       appendRuns: Int = 0,
                       keepOld: Boolean = false,
-                      postingsDS: Option[DataFrame] = None,
                       docsDS: Option[DataFrame] = None): IndexMeta = {
     // top-level ndocs/maxTf columns mean this pass never touches the fat
     // `blocks` column — parquet column pruning keeps the stats refresh a
     // metadata-sized read, not a full index re-read. Explicit schemas keep
     // the zero-file case (buildempty) readable; reads go through the
     // file listing being committed, so orphans never enter the stats.
-    val allPostings = postingsDS.getOrElse(
-        readFiles(spark, SegmentCatalog.postingsDir(indexDir),
-          dataFiles.get("postings"), schemaOf("postings")))
+    val allPostings = readFiles(spark, SegmentCatalog.postingsDir(indexDir),
+        dataFiles.get("postings"), schemaOf("postings"))
       .select("shard", "term", "ndocs", "maxTf")
     // stats are APPENDED next to the previous generation and only the new
     // files enter the manifest; the old generation is deleted AFTER the
