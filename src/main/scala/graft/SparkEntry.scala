@@ -398,15 +398,18 @@ object SparkEntry {
         m.countMulti(Seq("text" -> "zzzgraftwarm"))
         m.topKAddonMulti(Seq("text" -> "zzzgraftwarm"), 0L, "both", 1).count()
       }),
-      // tokens → shingles → grams8 → dupGrams8 chain in dependency order;
-      // the shared-intermediate materializations ride the same task
-      "token tables" -> (() => {
-        tokens(s, dir).count()
-        shingles(s, dir).count()
+      // the token-table materializations split into independent subchains
+      // (every chain re-states its dependencies; MatCache's computeIfAbsent
+      // blocks a second thread on an in-flight key, so shared prefixes
+      // compute once and the rest overlap)
+      "shingle sets" -> (() => {
         docShingleSets(s, dir).count()
-        minhashSigs(s, dir).count()
-        docTermSets(s, dir).count()
-        docTermPairs(s, dir).count()
+        shingleSetSizes(s, dir).count()
+      }),
+      "minhash sigs" -> (() => minhashSigs(s, dir).count()),
+      "term sets" -> (() => docTermSets(s, dir).count()),
+      "term pairs" -> (() => docTermPairs(s, dir).count()),
+      "gram tables" -> (() => {
         grams8(s, dir).count()
         dupGrams8(s, dir).count()
       }),
