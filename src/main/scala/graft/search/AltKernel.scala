@@ -559,7 +559,11 @@ object AltKernel extends Serializable {
                       hi: Long): Iterator[(Long, Long)] =
     rangeAddonShard(cq, keys, new ShardCells(rows), lo, hi)
 
-  /** [[rangeAddonShard]] over a shared [[ShardCells]] (fused batches). */
+  /** [[rangeAddonShard]] over a shared [[ShardCells]] (fused batches).
+    * LAZY: in-range matches stream straight off the bounded ordered scan —
+    * a wide range never materializes its per-shard match set on the task
+    * heap (the facet collapse consumes this stream bucket by bucket).
+    */
   def rangeAddonShard(cq: CompiledQuery, keys: Array[SearchKernel.KeySpec],
                       shardCells: ShardCells, lo: Long,
                       hi: Long): Iterator[(Long, Long)] = {
@@ -572,19 +576,24 @@ object AltKernel extends Serializable {
     val provider = new AltProvider(cursors)
     drv.foreach(_.stepToward(lo, Long.MinValue))
     val driver = new Driver(drv, leapfrog)
-    val out = mutable.ArrayBuffer.empty[(Long, Long)]
-    var going = true
-    while (going && driver.advanceToCandidate()) {
-      val a = driver.key
-      val d = driver.sub
-      if (a > hi) going = false
-      else {
-        provider.reset(a, d)
-        if (TsEval.matches(cq, provider)) out += ((d, a))
-        driver.step()
+    new Iterator[(Long, Long)] {
+      private var going = true
+      private var nextRow: (Long, Long) = null
+      private def fill(): Unit = {
+        while (nextRow == null && going && driver.advanceToCandidate()) {
+          val a = driver.key
+          val d = driver.sub
+          if (a > hi) going = false
+          else {
+            provider.reset(a, d)
+            if (TsEval.matches(cq, provider)) nextRow = ((d, a))
+            driver.step()
+          }
+        }
       }
+      def hasNext: Boolean = { fill(); nextRow != null }
+      def next(): (Long, Long) = { fill(); val r = nextRow; nextRow = null; r }
     }
-    out.iterator
   }
 
   /** Per-shard facet partials over the bounded ordered scan: bucket =

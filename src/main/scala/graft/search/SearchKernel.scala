@@ -613,10 +613,9 @@ object SearchKernel extends Serializable {
                      method: Int = 0, scoreCq: CompiledQuery = null,
                      scoreMap: Array[Int] = null): Iterator[(Long, Double, Long)] = {
     val provider = new CursorProvider(cursors)
-    val out = mutable.ArrayBuffer.empty[(Long, Double, Long)]
     val heap = if (k > 0 && score) new TopKHeap(k) else null
-    while (cands.hasNext) {
-      val cand = cands.next()
+    // evaluate one candidate in stream order; null = rejected
+    def eval(cand: Long): (Long, Double, Long) = {
       var i = 0
       while (i < cursors.length) {
         val c = cursors(i)
@@ -636,37 +635,56 @@ object SearchKernel extends Serializable {
           j += 1
         }
       }
-      if (isMatch || !matchOnly) {
-        val d =
-          if (!score) 0.0
-          else {
-            val sCq = if (scoreCq != null) scoreCq else cq
-            val kp = new Array[Array[Int]](sCq.numKeys)
-            val kw = new Array[Array[Byte]](sCq.numKeys)
-            var j = 0
-            while (j < sCq.numKeys) {
-              val src = if (scoreMap != null) scoreMap(j) else j
-              kp(j) = provider.positions(src); kw(j) = provider.wclasses(src)
-              j += 1
-            }
-            // doc length for length norms: docs stream if present, else
-            // any posting cursor at the candidate carries it
-            var dlen = if (lenOf != null) lenOf(cand) else 0
-            if (dlen == 0) {
-              var m = 0
-              while (m < cursors.length && dlen == 0) {
-                val c = cursors(m)
-                if (!c.done && c.docId == cand) dlen = c.docLen
-                m += 1
-              }
-            }
-            val nUniq = if (uniqOf != null) uniqOf(cand) else 0
-            CoverRank.distance(sCq, kp, kw, method, dlen, nUniq).toDouble
+      if (!(isMatch || !matchOnly)) return null
+      val d =
+        if (!score) 0.0
+        else {
+          val sCq = if (scoreCq != null) scoreCq else cq
+          val kp = new Array[Array[Int]](sCq.numKeys)
+          val kw = new Array[Array[Byte]](sCq.numKeys)
+          var j = 0
+          while (j < sCq.numKeys) {
+            val src = if (scoreMap != null) scoreMap(j) else j
+            kp(j) = provider.positions(src); kw(j) = provider.wclasses(src)
+            j += 1
           }
-        if (heap != null) heap.offer(d, cand, addon) else out += ((cand, d, addon))
+          // doc length for length norms: docs stream if present, else
+          // any posting cursor at the candidate carries it
+          var dlen = if (lenOf != null) lenOf(cand) else 0
+          if (dlen == 0) {
+            var m = 0
+            while (m < cursors.length && dlen == 0) {
+              val c = cursors(m)
+              if (!c.done && c.docId == cand) dlen = c.docLen
+              m += 1
+            }
+          }
+          val nUniq = if (uniqOf != null) uniqOf(cand) else 0
+          CoverRank.distance(sCq, kp, kw, method, dlen, nUniq).toDouble
+        }
+      (cand, d, addon)
+    }
+    if (heap != null) {
+      // bounded top-k: consume fully, emit the k survivors
+      while (cands.hasNext) {
+        val r = eval(cands.next())
+        if (r != null) heap.offer(r._2, r._1, r._3)
+      }
+      heap.drain()
+    } else new Iterator[(Long, Double, Long)] {
+      // LAZY: match rows stream straight out of the candidate walk — a
+      // match-heavy query never materializes its per-shard match set on
+      // the task heap (evaluation order is unchanged, so cursor/provider
+      // state advances exactly as the strict loop did)
+      private var nextRow: (Long, Double, Long) = null
+      private def fill(): Unit = {
+        while (nextRow == null && cands.hasNext) nextRow = eval(cands.next())
+      }
+      def hasNext: Boolean = { fill(); nextRow != null }
+      def next(): (Long, Double, Long) = {
+        fill(); val r = nextRow; nextRow = null; r
       }
     }
-    if (heap != null) heap.drain() else out.iterator
   }
 
   // ------------------------------------------------------------------
