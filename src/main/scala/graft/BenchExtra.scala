@@ -48,6 +48,40 @@ object BenchExtra {
         IndexBuilder.Params(nShards = cpus.toInt, tokenizer = "code"))
     }
 
+    // second identical build in the same JVM: the delta vs the first is
+    // JIT/codegen warmup, which the frozen bench pays (fresh JVM per run)
+    if (sys.env.contains("SPARK_GRAFT_BUILD_TWICE")) {
+      val idxDir2 = java.nio.file.Files.createTempDirectory("extraidx2").toString
+      time(s"corpus_build total warm-JVM repeat") {
+        IndexBuilder.build(spark, corpus, "doc_id", "content", idxDir2,
+          IndexBuilder.Params(nShards = cpus.toInt, tokenizer = "code"))
+      }
+    }
+
+    // ---- pack-pipeline decomposition (noop sink, guide §1.4) ----
+    // isolates: tokenize+cache, the stage-A partition sort, the full
+    // A+B pack compute (noop), and the parquet write delta
+    if (sys.env.contains("SPARK_GRAFT_PACK_PHASES")) {
+      val params = IndexBuilder.Params(nShards = cpus.toInt, tokenizer = "code")
+      val exploded = IndexBuilder.explodedOf(
+        IndexBuilder.normalize(corpus, "doc_id", "content", params), params).persist()
+      time("pack: tokenize+cache count") { exploded.count() }
+      time("pack: stage-A sort only (noop)") {
+        exploded.sortWithinPartitions("shard", "term", "docId")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("pack: A+B compute (noop)") {
+        IndexBuilder.packDataset(spark, exploded, params)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val pd = java.nio.file.Files.createTempDirectory("extrapack").toString
+      time("pack: A+B + parquet write") {
+        IndexBuilder.packDataset(spark, exploded, params)
+          .write.mode("overwrite").partitionBy("shard").parquet(pd)
+      }
+      exploded.unpersist(blocking = false)
+    }
+
     // ---- small-index build (the prewarm/IndexCache shape) ----
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     for (t <- 1 to 2) {

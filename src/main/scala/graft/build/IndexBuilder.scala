@@ -253,7 +253,7 @@ object IndexBuilder {
     .getOrElse(lit(0L)).as("addon")
 
   /** corpus slice → normalized (docId, text, addon, shard) columns. */
-  private def normalize(corpus: DataFrame, docIdCol: String, textCol: String,
+  private[graft] def normalize(corpus: DataFrame, docIdCol: String, textCol: String,
                         params: Params): DataFrame = {
     val addonCol = addonColOf(params.attach, col(docIdCol).cast("long"))
     corpus
@@ -270,7 +270,7 @@ object IndexBuilder {
   def fieldKey(field: String, term: String): String = field + FieldSep + term
 
   /** tokenize+explode a normalized slice into posting tuples. */
-  private def explodedOf(todo: DataFrame, params: Params,
+  private[graft] def explodedOf(todo: DataFrame, params: Params,
                          keyPrefix: String = ""): DataFrame = {
     val tokName = params.tokenizer
     val hashKeys = params.keyKind == "hash"
@@ -410,7 +410,7 @@ object IndexBuilder {
     out
   }
 
-  private def packDataset(spark: SparkSession, exploded: DataFrame,
+  private[graft] def packDataset(spark: SparkSession, exploded: DataFrame,
                           params: Params, alt: Boolean = false,
                           packAcc: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long)]] = None): Dataset[PostingRow] = {
     import spark.implicits._
@@ -633,24 +633,33 @@ object IndexBuilder {
     // between them.
     val statsDirPath = SegmentCatalog.statsDir(indexDir)
     val statsBefore = listParquet(statsDirPath)
-    allPostings.groupBy("term")
-      .agg(sum("ndocs").as("df"), max("maxTf").as("maxTf"))
-      .write.mode("append").parquet(statsDirPath)
-    val statsNew = listParquet(statsDirPath).filterNot(statsBefore.toSet)
     val now = System.currentTimeMillis()
-    val shardsMeta = allPostings.groupBy("shard")
-      .agg(countDistinct("term").as("terms"), count(lit(1)).as("rows"),
-        sum("ndocs").as("postings"))
-      .collect()
-      .map(r => ShardMeta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        shardMs.getOrElse(r.getInt(0), buildMs), now))
-      .toList
-
-    val allDocs = docsDS.getOrElse(
-      readFiles(spark, SegmentCatalog.docsDir(indexDir),
-        dataFiles.get("docs"), schemaOf("docs")))
-    val r = allDocs.agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
-    val (numDocs, totalTokens) = (r.getLong(0), r.getLong(1))
+    // the three refresh actions (term-stats write, per-shard metrics, docs
+    // totals) are independent jobs over pruned scans — run them from a
+    // small driver pool so the refresh pays max(job), not sum(job)
+    // (guide §2.6: FIFO back-fills one job's task tail with the next's)
+    var shardsMeta: List[ShardMeta] = Nil
+    var numDocs = 0L
+    var totalTokens = 0L
+    runConcurrently(Seq(
+      () => allPostings.groupBy("term")
+        .agg(sum("ndocs").as("df"), max("maxTf").as("maxTf"))
+        .write.mode("append").parquet(statsDirPath),
+      () => shardsMeta = allPostings.groupBy("shard")
+        .agg(countDistinct("term").as("terms"), count(lit(1)).as("rows"),
+          sum("ndocs").as("postings"))
+        .collect()
+        .map(r => ShardMeta(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          shardMs.getOrElse(r.getInt(0), buildMs), now))
+        .toList,
+      () => {
+        val allDocs = docsDS.getOrElse(
+          readFiles(spark, SegmentCatalog.docsDir(indexDir),
+            dataFiles.get("docs"), schemaOf("docs")))
+        val r = allDocs.agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
+        numDocs = r.getLong(0); totalTokens = r.getLong(1)
+      }))
+    val statsNew = listParquet(statsDirPath).filterNot(statsBefore.toSet)
 
     val meta = IndexMeta(
       formatVersion = CurrentFormat,

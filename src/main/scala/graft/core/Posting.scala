@@ -56,46 +56,51 @@ object PostingBlock {
 final class PostingListBuilder(blockSize: Int = PostingBlock.DefaultSize,
                                allowTies: Boolean = false) {
   private val blocks = ArrayBuffer.empty[PostingBlock]
-  private var docIds = new ArrayBuffer[Long](blockSize)
-  private var tfs = new ArrayBuffer[Int](blockSize)
-  private var lens = new ArrayBuffer[Int](blockSize)
-  private var addons = new ArrayBuffer[Long](blockSize)
+  // primitive hot-path buffers — add() runs once per posting across every
+  // build/merge/repack, so the per-add boxing of generic ArrayBuffers is
+  // measurable GC/CPU. Capacity is exactly blockSize: add() flushes at
+  // blockSize, so the arrays never need to grow.
+  private val docIds = new Array[Long](blockSize)
+  private val tfs = new Array[Int](blockSize)
+  private val lens = new Array[Int](blockSize)
+  private val addons = new Array[Long](blockSize)
+  private var n = 0
   private val posBuf = new java.io.ByteArrayOutputStream()
   private var maxTf = 0
   var totalDocs: Long = 0L
 
   def add(docId: Long, tf: Int, docLen: Int, positions: Array[Byte], addon: Long = 0L): Unit = {
-    require(docIds.isEmpty || (if (allowTies) docId >= docIds.last else docId > docIds.last),
+    require(n == 0 || (if (allowTies) docId >= docIds(n - 1) else docId > docIds(n - 1)),
       s"keys must be ${if (allowTies) "non-decreasing" else "strictly increasing"}: " +
-        s"$docId after ${docIds.last}")
-    docIds += docId
-    tfs += tf
-    lens += docLen
-    addons += addon
+        s"$docId after ${docIds(n - 1)}")
+    docIds(n) = docId
+    tfs(n) = tf
+    lens(n) = docLen
+    addons(n) = addon
+    n += 1
     if (tf > maxTf) maxTf = tf
     VarByte.writeUInt(posBuf, positions.length.toLong)
     posBuf.write(positions, 0, positions.length)
     totalDocs += 1
-    if (docIds.length >= blockSize) flush()
+    if (n >= blockSize) flush()
   }
 
   private def flush(): Unit = {
-    if (docIds.nonEmpty) {
+    if (n > 0) {
       blocks += PostingBlock(
-        firstDoc = docIds.head,
-        lastDoc = docIds.last,
-        n = docIds.length,
+        firstDoc = docIds(0),
+        lastDoc = docIds(n - 1),
+        n = n,
         maxTf = maxTf,
-        docs = VarByte.encodeDeltas(docIds.toArray, allowTies = allowTies),
-        tfs = VarByte.encodeUInts(tfs.toArray),
-        lens = VarByte.encodeUInts(lens.toArray),
+        docs = VarByte.encodeDeltas(java.util.Arrays.copyOf(docIds, n), allowTies = allowTies),
+        tfs = VarByte.encodeUInts(java.util.Arrays.copyOf(tfs, n)),
+        lens = VarByte.encodeUInts(java.util.Arrays.copyOf(lens, n)),
         addons = { val o = new java.io.ByteArrayOutputStream()
-          addons.foreach(VarByte.writeUInt(o, _)); o.toByteArray },
+          var i = 0
+          while (i < n) { VarByte.writeUInt(o, addons(i)); i += 1 }
+          o.toByteArray },
         poss = posBuf.toByteArray)
-      docIds = new ArrayBuffer[Long](blockSize)
-      tfs = new ArrayBuffer[Int](blockSize)
-      lens = new ArrayBuffer[Int](blockSize)
-      addons = new ArrayBuffer[Long](blockSize)
+      n = 0
       posBuf.reset()
       maxTf = 0
     }
