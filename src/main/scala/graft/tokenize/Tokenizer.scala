@@ -92,19 +92,47 @@ object Tokenizer {
     * (key, payload) shape of rumExtractEntries output. Weight class fixed
     * at D (0) unless `wclassOf` overrides per token.
     */
+  /** Growable primitive (positions, wclasses) pair — the per-term payload
+    * accumulator. occurrences() runs once per document across every build
+    * and text-profile pass, so the per-token boxing of generic ArrayBuffers
+    * is measurable GC/CPU at corpus scale.
+    */
+  private final class Occ {
+    var ps: Array[Int] = new Array[Int](4)
+    var ws: Array[Byte] = new Array[Byte](4)
+    var n = 0
+    def add(pos: Int, w: Byte): Unit = {
+      if (n == ps.length) {
+        ps = java.util.Arrays.copyOf(ps, n * 2)
+        ws = java.util.Arrays.copyOf(ws, n * 2)
+      }
+      ps(n) = pos; ws(n) = w; n += 1
+    }
+  }
+
   def occurrences(tokens: Array[String],
                   wclassOf: (String, Int) => Byte = (_, _) => 0.toByte): Array[TermOccs] = {
-    val m = mutable.LinkedHashMap.empty[String, (mutable.ArrayBuffer[Int], mutable.ArrayBuffer[Byte])]
+    val m = new java.util.HashMap[String, Occ]()
     var i = 0
     while (i < tokens.length) {
       val t = tokens(i)
-      val e = m.getOrElseUpdate(t, (mutable.ArrayBuffer.empty[Int], mutable.ArrayBuffer.empty[Byte]))
-      e._1 += (i + 1)
-      e._2 += wclassOf(t, i + 1)
+      var e = m.get(t)
+      if (e == null) { e = new Occ; m.put(t, e) }
+      e.add(i + 1, wclassOf(t, i + 1))
       i += 1
     }
-    m.iterator.map { case (t, (ps, ws)) => TermOccs(t, ps.toArray, ws.toArray) }
-      .toArray.sortBy(_.term)
+    val out = new Array[TermOccs](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val o = e.getValue
+      out(j) = TermOccs(e.getKey,
+        java.util.Arrays.copyOf(o.ps, o.n), java.util.Arrays.copyOf(o.ws, o.n))
+      j += 1
+    }
+    java.util.Arrays.sort(out, Ordering.by((t: TermOccs) => t.term))
+    out
   }
 
   def simple(text: String): Array[TermOccs] = occurrences(simpleTokens(text))
