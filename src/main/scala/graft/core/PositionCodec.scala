@@ -77,6 +77,13 @@ object PositionCodec {
     * single occurrence at MaxPos. Truncate to MaxNumPos entries.
     */
   def cap(positions: Array[Int], wclasses: Array[Byte]): (Array[Int], Array[Byte]) = {
+    // fast path — nothing to cap (positions are strictly increasing, so
+    // checking the last suffices): return the inputs as-is. This is every
+    // (term, doc) of every document shorter than MaxPos tokens, so the
+    // copy below is the rare case, not the common one.
+    if (positions.length <= MaxNumPos &&
+        (positions.length == 0 || positions(positions.length - 1) <= MaxPos))
+      return (positions, wclasses)
     var n = math.min(positions.length, MaxNumPos)
     // find how many stay strictly under/equal the cap with monotonicity
     val ps = new scala.collection.mutable.ArrayBuffer[Int](n)
