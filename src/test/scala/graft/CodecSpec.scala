@@ -72,6 +72,24 @@ class CodecSpec extends AnyFunSuite {
     assert(cw.length == cp.length)
   }
 
+  test("position cap is the identity (no copy) when nothing exceeds the caps") {
+    val pos = (1 to 200).map(_ * 3).toArray // max 600 << MaxPos, 200 < MaxNumPos
+    val ws = Array.tabulate[Byte](200)(i => (i % 4).toByte)
+    val (cp, cw) = PositionCodec.cap(pos, ws)
+    assert(cp eq pos) // fast path must not allocate
+    assert(cw eq ws)
+    // boundary: exactly MaxNumPos entries, last exactly MaxPos — still identity
+    val pb = (1 to PositionCodec.MaxNumPos)
+      .map(i => PositionCodec.MaxPos - PositionCodec.MaxNumPos + i).toArray
+    val wb = new Array[Byte](PositionCodec.MaxNumPos)
+    val (cpb, _) = PositionCodec.cap(pb, wb)
+    assert(cpb eq pb)
+    // one past either limit takes the copying path with the old semantics
+    val over = pos :+ (PositionCodec.MaxPos + 5)
+    val (co, _) = PositionCodec.cap(over, new Array[Byte](over.length))
+    assert(!(co eq over) && co.last == PositionCodec.MaxPos)
+  }
+
   test("posting builder + cursor round-trip with seek") {
     val n = 5000
     val docs = (1 to n).map(i => i.toLong * 7).toArray
