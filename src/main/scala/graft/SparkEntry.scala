@@ -415,9 +415,11 @@ object SparkEntry {
       }),
       "lsh signatures" -> (() => EmbedCache.signatures(s, dir).count()),
       "kmeans centroids" -> (() => { KMeansCache.centroids(s, dir); () }))
-    // 6 jobs in flight: enough to fill task tails on local[32], not enough
-    // to thrash executor memory with concurrent index builds
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    // 8 jobs in flight: A/B-measured sweet spot on local[32] (6→8 saved
+    // ~2.3 s cold prewarm across interleaved readings; 10 added nothing) —
+    // enough to fill task tails without thrashing executor memory with
+    // concurrent index builds
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {
       chains.map { case (what, f) =>
         pool.submit(new Runnable { def run(): Unit = safely(what)(f()) })
